@@ -1,0 +1,181 @@
+"""File-level mapper orchestration and output writers.
+
+Reproduces the reference pemapper's artifact set byte-for-byte (after
+decompression): <out>.pileup.gz, <out>.indel.txt.gz, <out>.summary.txt and
+per-fastq .mfile position dumps (pemapper.c:374-393, 775-781, 788-898).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..formats.fastq import FastqBatcher
+from ..formats.index_files import load_index
+from ..formats.sdx import read_sdx, read_seq, find_chrom_mapper
+from .engine import MapperEngine
+
+MATE_NAMES_PAIRED = [
+    "Unique Mate-Paired", "Unique Mate-Paired with slip", "Unique Single End",
+    "Unique Mis-size", "Non-Unique Mate-Paired", "Non-Unique Mis-size",
+    "Fragment Mismatch", "Non-unique with no map", "Neither Map"]
+MATE_NAMES_SINGLE = [
+    "Not Used", "Not Used", "Unique Mapping", "Not Used", "Not Used",
+    "Not Used", "Not Used", "Non-Unique Mapping, discarded",
+    "No mapping reaches threshold"]
+
+
+@dataclass
+class MapperConfig:
+    out_base: str
+    sdx_path: str
+    paired: bool
+    files1: list
+    files2: list = field(default_factory=list)
+    max_dist: int = 0
+    min_dist: int = 0
+    bisulfite: bool = False
+    min_align: float = 0.9
+    max_reads: int = 2 * 10**9
+    nthreads: int = 2
+    batch_size: int = 20000
+
+
+def _strip_sdx(path: str) -> str:
+    if ".sdx" in path:
+        return path[:path.rfind(".")]
+    return path
+
+
+def run_mapper(cfg: MapperConfig) -> MapperEngine:
+    sdx = read_sdx(cfg.sdx_path)
+    base = _strip_sdx(cfg.sdx_path)
+    genome = read_seq(base + ".seq", sdx.genome_size)
+    index = load_index(base)
+    eng = MapperEngine(sdx, genome, index, bisulfite=cfg.bisulfite,
+                       min_align=cfg.min_align, min_dist=cfg.min_dist,
+                       max_dist=cfg.max_dist, paired=cfg.paired,
+                       nthreads=cfg.nthreads)
+    tot_pairs = 0
+    order_base = 0
+    for it in range(len(cfg.files1)):
+        f1 = cfg.files1[it]
+        f2 = cfg.files2[it] if cfg.paired else None
+        batcher = FastqBatcher(f1, f2, batch_size=cfg.batch_size,
+                               max_reads=cfg.max_reads)
+        eng._order_counter = order_base
+        maps1_parts, maps2_parts = [], []
+        for batch in batcher.batches():
+            s1, l1, s2, l2, nos = batch
+            m1, m2, _ = eng.map_batch(s1, l1, s2, l2, read_nos=nos)
+            maps1_parts.append(m1)
+            maps2_parts.append(m2)
+        n_rec = batcher.total_records
+        maps1 = (np.concatenate(maps1_parts) if maps1_parts
+                 else np.zeros(0, np.uint32))
+        maps1.astype("<u4").tofile(f1 + ".mfile")
+        if cfg.paired:
+            maps2 = (np.concatenate(maps2_parts) if maps2_parts
+                     else np.zeros(0, np.uint32))
+            maps2.astype("<u4").tofile(f2 + ".mfile")
+        tot_pairs += n_rec
+        order_base += n_rec
+
+    write_outputs(cfg, eng, sdx, genome, tot_pairs)
+    return eng
+
+
+def write_outputs(cfg: MapperConfig, eng: MapperEngine, sdx, genome,
+                  tot_pairs: int) -> None:
+    st = eng.stats
+    names = MATE_NAMES_PAIRED if cfg.paired else MATE_NAMES_SINGLE
+
+    if st.total_bases <= 0:
+        # reference exits early: empty (unclosed) gz outputs + zero summary
+        open(cfg.out_base + ".pileup.gz", "wb").close()
+        open(cfg.out_base + ".indel.txt.gz", "wb").close()
+        with open(cfg.out_base + ".summary.txt", "w") as f:
+            f.write("\n" + "=" * 64)
+            f.write("\n================= Summary " + "=" * 38)
+            f.write("\n" + "=" * 64)
+            f.write("\n" + "=" * 64)
+            f.write("\n\nTotal Number of Mapping reads of Any Kind\t0"
+                    "\tWith average Length\t0\tAverage Depth\t0"
+                    "\tAverage Insert Size\t0")
+            f.write("\n\nMapping Type\tCount\tFraction")
+            f.write("\nAll\t%ld\t1".replace("%ld", str(tot_pairs)))
+            for i in range(9):
+                if "Not Used" not in names[i]:
+                    frac = (st.mate_counts[i] / tot_pairs if tot_pairs
+                            else float("nan"))
+                    f.write("\n%s\t%d\t%g" % (names[i], st.mate_counts[i],
+                                              frac))
+            f.write("\n")
+        return
+
+    counts = eng.final_pileup()                     # (gs, 6) uint16
+    tot_c = counts.astype(np.int64).sum(axis=1)
+    nz = np.nonzero(tot_c > 0)[0]
+
+    from ..formats.pileup import write_pileup
+    write_pileup(cfg.out_base + ".pileup.gz", nz, counts[nz])
+
+    # group insertion strings per position in canonical arrival order
+    ins_by_pos = {}
+    for key, gpos, s in sorted(eng.ins_records, key=lambda t: t[0]):
+        ins_by_pos.setdefault(gpos, []).append(s)
+
+    sstarts = sdx.sstarts
+    with gzip.open(cfg.out_base + ".indel.txt.gz", "wt") as f:
+        f.write("Fragment\tPositions\tReference Base\tTotal Coverage"
+                "\tReference Reads\tNo Deletions\tNo Insertions"
+                "\tInsertion Sequence")
+        ins_pos = nz[counts[nz, 5] > 0]
+        if len(ins_pos):
+            chroms = find_chrom_mapper(sstarts, sdx.n_contigs, ins_pos)
+            for pos, which in zip(ins_pos, chroms):
+                ref = chr(genome[pos])
+                row = counts[pos]
+                if ref == "A":
+                    ref_reads = row[0]
+                elif ref == "C":
+                    ref_reads = row[1]
+                elif ref == "G":
+                    ref_reads = row[2]
+                else:
+                    ref_reads = row[3]
+                contig_pos = 1 + pos - sstarts[which]
+                f.write("\n%s\t%d\t%c\t%d\t%d\t%d\t%d" % (
+                    sdx.names[which], contig_pos, ref, tot_c[pos],
+                    ref_reads, row[4], row[5]))
+                for s in ins_by_pos.get(int(pos), []):
+                    f.write("\t%s" % s)
+
+    avg_readlen = float(st.total_bases)
+    if st.total_reads > 0:
+        avg_readlen /= float(st.total_reads)
+    avg_dist = float(st.total_dist)
+    if st.no_dists > 0:
+        avg_dist /= float(st.no_dists)
+    avg_reads = float(st.total_bases) / float(sdx.genome_size)
+
+    with open(cfg.out_base + ".summary.txt", "w") as f:
+        f.write("\n" + "=" * 64)
+        f.write("\n================= Summary " + "=" * 38)
+        f.write("\n" + "=" * 64)
+        f.write("\n" + "=" * 64)
+        f.write("\n\nTotal Number of Mapping reads of Any Kind\t%d"
+                "\tWith average Length\t%g\tAverage Depth\t%g"
+                "\tAverage Insert Size\t%g" % (
+                    st.total_reads, avg_readlen, avg_reads, avg_dist))
+        f.write("\n\nMapping Type\tCount\tFraction")
+        f.write("\nAll\t%d\t1" % tot_pairs)
+        for i in range(9):
+            if "Not Used" not in names[i]:
+                f.write("\n%s\t%d\t%g" % (
+                    names[i], st.mate_counts[i],
+                    st.mate_counts[i] / tot_pairs))
+        f.write("\n")
