@@ -1,0 +1,408 @@
+"""Caller orchestration: pileup stream merge, site dispatch to the exact
+native model, and the .base.gz/.snp/.piles.gz/.dist artifact writers.
+
+Reproduces pecaller's outputs byte-for-byte (after decompression) when the
+reference is run with 2 threads (1 worker => deterministic row order);
+see pecaller.c:226-1146 for the orchestration being mirrored.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import gzip
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..formats.pileup import read_pileup
+from ..formats.sdx import read_sdx, find_chrom_caller
+from ..native.build import ptr
+from .native import load_pecall
+
+INT_TO_GEN = "ACGTDIMRWSYKEH" + "N"
+GEN_TO_INT = {c: i for i, c in enumerate(INT_TO_GEN[:14])}
+GEN_TO_INT["N"] = 14
+SNP_TYPE = ["", "SNP", "DEL", "INS", "LOW", "MULTIALLELIC", "MESS"]
+ALLELE_CHAR = "ACGTDI"
+AUTO, CHRX, CHRY, CHRMT = 0, 1, 2, 3
+MAX_DIST = 501
+
+
+@dataclass
+class CallerConfig:
+    pileup_ext: str
+    sdx_path: str
+    out_base: str
+    prob_to_call: float = 0.95
+    theta: float = 0.001
+    haploid: bool = False
+    use_ped: bool = False
+    ped_path: str | None = None
+    denovo_rate: float = 1e-8
+    guide_path: str | None = None
+    directory: str = "."
+    nthreads: int = 2
+    chunk_sites: int = 8192
+
+
+def _chrom_type(name: str) -> int:
+    tok = name.replace(":", "\0").replace("_", "\0").replace("-", "\0") \
+              .replace(" ", "\0").split("\0")[0].lower()
+    return {"chrx": CHRX, "chry": CHRY, "chrmt": CHRMT}.get(tok, AUTO)
+
+
+def _discover_pileups(directory: str, ext: str):
+    """readdir-order scan for files containing ``ext`` (pecaller.c:495-515).
+    Sample name = prefix before the first '.', tab, or space."""
+    names, files = [], []
+    for entry in os.listdir(directory):
+        if ext in entry:
+            files.append(os.path.join(directory, entry))
+            for sep in ".\t \n":
+                entry = entry.split(sep)[0]
+            names.append(entry)
+    return names, files
+
+
+def _parse_ped(path: str, sample_names):
+    n = len(sample_names)
+    dad = np.full(n, -1, dtype=np.int32)
+    mom = np.full(n, -1, dtype=np.int32)
+    sex = np.zeros(n, dtype=np.int32)
+    name_to_i = {s: i for i, s in enumerate(sample_names)}
+    with open(path) as f:
+        for line in f:
+            if len(line.strip()) <= 5:
+                continue
+            tok = line.split()
+            if len(tok) < 5:
+                continue
+            fam, ind, d, mo, sx = tok[0], tok[1], tok[2], tok[3], tok[4]
+            if ind not in name_to_i:
+                continue
+            i = name_to_i[ind]
+            if d != "0" and d in name_to_i:
+                dad[i] = name_to_i[d]
+            if mo != "0" and mo in name_to_i:
+                mom[i] = name_to_i[mo]
+            sex[i] = int(sx)
+    return dad, mom, sex
+
+
+class _Stream:
+    """Per-sample pileup stream with the reference's EOF accounting."""
+
+    def __init__(self, path):
+        pos, counts = read_pileup(path)
+        # leading zero-position records are consumed and dropped
+        # (pecaller.c:837-850)
+        k = 0
+        while k < len(pos) and pos[k] == 0:
+            k += 1
+        self.pos = pos[k:].astype(np.int64)
+        self.counts = counts[k:]
+        self.i = 0
+        self.done = len(self.pos) == 0   # counted against running_files
+
+
+def run_caller(cfg: CallerConfig):
+    sdx = read_sdx(cfg.sdx_path)
+    base = cfg.sdx_path[:cfg.sdx_path.rfind(".")] \
+        if ".sdx" in cfg.sdx_path else cfg.sdx_path
+    import gzip as _gz
+    with _gz.open(base + ".seq", "rb") as f:
+        genome = np.frombuffer(f.read(sdx.genome_size), dtype=np.uint8)
+
+    frag_pos = np.cumsum(sdx.stored_lens.astype(np.int64) + 15)
+    chrom_types = np.array([_chrom_type(nm) for nm in sdx.names],
+                           dtype=np.uint8)
+
+    sample_names, files = _discover_pileups(cfg.directory, cfg.pileup_ext)
+    indiv = len(sample_names)
+    if indiv == 0:
+        raise RuntimeError("no pileup files found")
+    streams = [_Stream(p) for p in files]
+
+    if cfg.use_ped:
+        dad, mom, sex = _parse_ped(cfg.ped_path, sample_names)
+    else:
+        dad = np.full(indiv, -1, dtype=np.int32)
+        mom = np.full(indiv, -1, dtype=np.int32)
+        sex = np.zeros(indiv, dtype=np.int32)
+
+    lib, model = load_pecall(indiv, cfg.haploid, cfg.theta, cfg.denovo_rate,
+                             cfg.prob_to_call, cfg.use_ped, dad, mom, sex)
+
+    # ---- merge sites ----
+    if cfg.guide_path is None:
+        all_pos = np.unique(np.concatenate(
+            [s.pos for s in streams if len(s.pos)]))
+        n_sites = len(all_pos)
+        data = np.zeros((n_sites, indiv, 6), dtype=np.uint16)
+        present = np.zeros((n_sites, indiv), dtype=bool)
+        for i, s in enumerate(streams):
+            if len(s.pos) == 0:
+                continue
+            idx = np.searchsorted(all_pos, s.pos)
+            data[idx, i] = s.counts
+            present[idx, i] = True
+        site_haploid = np.full(n_sites, 1 if cfg.haploid else 0,
+                               dtype=np.uint8)
+        # in non-guide mode chrY/MT are NOT forced haploid (pecaller quirk:
+        # only the guide path sets per-site haploidy, pecaller.c:968-969)
+        base_count_inc_absent = False
+    else:
+        all_pos, stop_after = _guide_sites(cfg.guide_path, sdx, frag_pos,
+                                           streams)
+        n_sites = len(all_pos)
+        data = np.zeros((n_sites, indiv, 6), dtype=np.uint16)
+        present = np.zeros((n_sites, indiv), dtype=bool)
+        for i, s in enumerate(streams):
+            if len(s.pos) == 0:
+                continue
+            idx = np.searchsorted(all_pos, s.pos)
+            ok = (idx < n_sites)
+            ok[ok] = all_pos[idx[ok]] == s.pos[ok]
+            data[idx[ok], i] = s.counts[ok]
+            present[idx[ok], i] = True
+        site_haploid = None  # filled below
+        base_count_inc_absent = True
+
+    which = find_chrom_caller(frag_pos, sdx.n_contigs,
+                              max((sdx.n_contigs - 1) // 2, 0), all_pos)
+    which = np.clip(which, 0, sdx.n_contigs - 1)
+    ctype = chrom_types[which]
+    if cfg.guide_path is not None:
+        site_haploid = np.where((ctype == CHRY) | (ctype == CHRMT), 1,
+                                1 if cfg.haploid else 0).astype(np.uint8)
+
+    fp_prev = np.concatenate([[0], frag_pos])
+    contig_pos = 1 + all_pos - fp_prev[which]
+    refc = genome[np.clip(all_pos, 0, sdx.genome_size - 1)]
+    ref_int = np.array([GEN_TO_INT.get(chr(c), None) for c in refc])
+    weird = np.array([GEN_TO_INT.get(chr(c)) is None for c in refc])
+    if weird.any():
+        raise RuntimeError("illegal genome character at a called site")
+    ref_int = ref_int.astype(np.int32)
+
+    # ---- stats (.dist) ----
+    tot_cov = data.astype(np.int64).sum(axis=2)
+    tot_bases = n_sites
+    counts_hist = np.zeros((indiv, MAX_DIST), dtype=np.int64)
+    mean = np.zeros(indiv)
+    base_count = np.zeros(indiv, dtype=np.int64)
+    max_cov = np.zeros(indiv, dtype=np.int64)
+    for i in range(indiv):
+        pm = present[:, i]
+        cov = tot_cov[pm, i]
+        mean[i] = cov.sum()
+        if len(cov):
+            max_cov[i] = cov.max()
+        counts_hist[i] = np.bincount(np.minimum(cov, MAX_DIST - 1),
+                                     minlength=MAX_DIST)
+        base_count[i] = pm.sum()
+        if base_count_inc_absent:
+            base_count[i] = n_sites
+    mean = np.where(base_count > 0, mean / np.maximum(base_count, 1), mean)
+
+    # ---- model over callable sites ----
+    callable_m = ref_int < 6
+    out_calls = np.full((n_sites, indiv), 14, dtype=np.int8)
+    out_probs = np.ones((n_sites, indiv), dtype=np.float64)
+    out_types = np.zeros(n_sites, dtype=np.uint8)
+    out_denovo = np.zeros(n_sites, dtype=np.int32)
+    out_acnt = np.zeros((n_sites, 6), dtype=np.int32)
+    out_active = np.zeros((n_sites, indiv), dtype=np.uint8)
+
+    cidx = np.nonzero(callable_m)[0]
+    for lo in range(0, len(cidx), cfg.chunk_sites):
+        sel = cidx[lo:lo + cfg.chunk_sites]
+        nb = len(sel)
+        reads = np.ascontiguousarray(data[sel])
+        ri = np.ascontiguousarray(ref_int[sel].astype(np.uint8))
+        ch = np.ascontiguousarray(ctype[sel].astype(np.uint8))
+        hp = np.ascontiguousarray(site_haploid[sel])
+        calls = np.zeros((nb, indiv), dtype=np.int8)
+        probs = np.zeros((nb, indiv), dtype=np.float64)
+        types = np.zeros(nb, dtype=np.uint8)
+        dn = np.zeros(nb, dtype=np.int32)
+        ac = np.zeros((nb, 6), dtype=np.int32)
+        act = np.zeros((nb, indiv), dtype=np.uint8)
+        lib.pecall_sites_batch(
+            model, ptr(reads, ctypes.c_uint16), ptr(ri, ctypes.c_uint8),
+            ptr(ch, ctypes.c_uint8), ptr(hp, ctypes.c_uint8), nb,
+            cfg.nthreads, ptr(calls, ctypes.c_int8),
+            ptr(probs, ctypes.c_double), ptr(types, ctypes.c_uint8),
+            ptr(dn, ctypes.c_int32), ptr(ac, ctypes.c_int32),
+            ptr(act, ctypes.c_uint8))
+        out_calls[sel] = calls
+        out_probs[sel] = probs
+        out_types[sel] = types
+        out_denovo[sel] = dn
+        out_acnt[sel] = ac
+        out_active[sel] = act
+
+    _write_outputs(cfg, sdx, sample_names, all_pos, which, contig_pos, refc,
+                   callable_m, data, out_calls, out_probs, out_types,
+                   out_denovo, out_acnt, out_active)
+    _write_dist(cfg, sample_names, tot_bases, counts_hist, mean, base_count,
+                max_cov)
+    return dict(n_sites=n_sites, sample_names=sample_names)
+
+
+def _guide_sites(guide_path, sdx, frag_pos, streams):
+    """Expand bed intervals into global site positions, honoring the
+    reference's early stop when every pileup stream is exhausted
+    (pecaller.c:952-1068)."""
+    fp_prev = np.concatenate([[0], frag_pos])
+    name_to_i = {nm: i for i, nm in enumerate(sdx.names)}
+    sites = []
+    with open(guide_path) as f:
+        for line in f:
+            if len(line.strip()) < 5 and sites:
+                break
+            tok = line.split()
+            if len(tok) < 3:
+                continue
+            which = name_to_i[tok[0]]
+            start = fp_prev[which] + int(tok[1]) - 1
+            end = fp_prev[which] + int(tok[2]) - 1
+            sites.append(np.arange(start, end + 1, dtype=np.int64))
+    if not sites:
+        return np.zeros(0, dtype=np.int64), 0
+    sites = np.concatenate(sites)
+
+    # early stop: walk sites, tracking when each stream exhausts
+    running = sum(1 for s in streams if not s.done)
+    if running == 0:
+        return sites[:1][:0], 0
+    ptrs = [0] * len(streams)
+    done = [s.done for s in streams]
+    n_proc = 0
+    for k, site in enumerate(sites):
+        if running <= 0:
+            break
+        n_proc = k + 1
+        for i, s in enumerate(streams):
+            if done[i]:
+                continue
+            while ptrs[i] < len(s.pos) and s.pos[ptrs[i]] < site:
+                ptrs[i] += 1
+            if ptrs[i] >= len(s.pos):
+                done[i] = True
+                running -= 1
+                continue
+            if s.pos[ptrs[i]] == site:
+                ptrs[i] += 1
+                if ptrs[i] >= len(s.pos):
+                    done[i] = True
+                    running -= 1
+    return sites[:n_proc], n_proc
+
+
+def _write_outputs(cfg, sdx, sample_names, all_pos, which, contig_pos, refc,
+                   callable_m, data, calls, probs, types, denovo, acnt,
+                   active):
+    g = lambda x: "%g" % x
+    basef = gzip.open(cfg.out_base + ".base.gz", "wt", compresslevel=6)
+    snpf = open(cfg.out_base + ".snp", "w")
+    pilef = gzip.open(cfg.out_base + ".piles.gz", "wt", compresslevel=6)
+
+    snpf.write("Fragment\tPosition\tReference\tAlleles\tAllele_Counts\tType")
+    basef.write("Fragment\tPosition\tReference")
+    pilef.write("Fragment\tPosition\tReference")
+    for nm in sample_names:
+        snpf.write("\t%s\t" % nm)
+        basef.write("\t%s\t" % nm)
+        pilef.write("\t%s\t\t\t\t\t" % nm)
+
+    indiv = len(sample_names)
+    n_sites = len(all_pos)
+    for s in range(n_sites):
+        if not callable_m[s]:
+            continue
+        frag = sdx.names[which[s]]
+        pos = int(contig_pos[s])
+        ref = chr(refc[s])
+        parts = ["\n%s\t%d\t%c" % (frag, pos, ref)]
+        for i in range(indiv):
+            if active[s, i]:
+                parts.append("\t%c\t%s" % (INT_TO_GEN[calls[s, i]],
+                                           g(probs[s, i])))
+            else:
+                parts.append("\tN\t1")
+        basef.write("".join(parts))
+        t = types[s]
+        if t != 0:
+            a_str = ",".join(ALLELE_CHAR[i] for i in range(6)
+                             if acnt[s, i] > 0)
+            c_str = ",".join(str(acnt[s, i]) for i in range(6)
+                             if acnt[s, i] > 0)
+            tname = SNP_TYPE[t]
+            if cfg.use_ped and denovo[s] > 0:
+                tname = "DENOVO_" + tname
+            row = ["\n%s\t%d\t%c\t%s\t%s\t%s" % (frag, pos, ref, a_str,
+                                                 c_str, tname)]
+            prow = ["\n%s\t%d\t%c" % (frag, pos, ref)]
+            for i in range(indiv):
+                row.append("\t%c\t%s" % (INT_TO_GEN[calls[s, i]],
+                                         g(probs[s, i])))
+                for j in range(6):
+                    prow.append("\t%d" % data[s, i, j])
+            snpf.write("".join(row))
+            pilef.write("".join(prow))
+    basef.close()
+    snpf.close()
+    pilef.close()
+
+
+def _write_dist(cfg, sample_names, tot_bases, counts_hist, mean, base_count,
+                max_cov):
+    indiv = len(sample_names)
+    tot_8x = counts_hist[:, 8:].sum(axis=1)
+    tot_1x = tot_8x + counts_hist[:, 1:8].sum(axis=1)
+    counts_hist = counts_hist.copy()
+    counts_hist[:, 0] = tot_bases - tot_1x
+    median = np.zeros(indiv, dtype=np.int64)
+    stop = tot_bases // 2
+    for i in range(indiv):
+        mc = counts_hist[i, 0]
+        med = 0
+        for j in range(1, MAX_DIST):
+            if mc > stop:
+                break
+            med += 1
+            mc += counts_hist[i, med]
+        median[i] = med
+    with open(cfg.out_base + ".dist", "w") as f:
+        f.write("Category")
+        for nm in sample_names:
+            f.write("\t%s" % nm)
+        f.write("\nTotal Number of bases in target")
+        for _ in range(indiv):
+            f.write("\t%d" % tot_bases)
+        f.write("\nTotal Number of bases with at least 1x coverage")
+        for i in range(indiv):
+            f.write("\t%d" % tot_1x[i])
+        f.write("\nTotal Number of bases with at least 8x coverage")
+        for i in range(indiv):
+            f.write("\t%d" % tot_8x[i])
+        f.write("\nMean depth of coverage")
+        for i in range(indiv):
+            f.write("\t%g" % mean[i])
+        f.write("\nMedian depth of coverage")
+        for i in range(indiv):
+            f.write("\t%d" % median[i])
+        f.write("\nMaximum depth of coverage")
+        for i in range(indiv):
+            f.write("\t%d" % max_cov[i])
+        f.write("\n\nDepth")
+        for j in range(MAX_DIST - 1):
+            f.write("\n%d" % j)
+            for i in range(indiv):
+                f.write("\t%d" % counts_hist[i, j])
+        f.write("\n%d+" % (MAX_DIST - 1))
+        for i in range(indiv):
+            f.write("\t%d" % counts_hist[i, MAX_DIST - 1])
+        f.write("\n")

@@ -1,0 +1,148 @@
+"""Caller parity: .base.gz/.snp/.piles.gz/.dist byte-equal to the
+reference pecaller (built race-free at -O0; see util.ref_binaries)."""
+
+import gzip
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from pecaller_tpu.caller import run_caller, CallerConfig
+from pecaller_tpu.mapper import run_mapper, MapperConfig
+
+from util import (have_reference, ref_binaries, run_ref_indexer, make_genome,
+                  write_fasta, sample_reads, write_fastq, golden_dir, BASES)
+
+pytestmark = pytest.mark.skipif(not have_reference(),
+                                reason="reference sources unavailable")
+
+
+def _plant_and_map(d, rng, n_samples=3, contig_lens=(30000,),
+                   names=None):
+    """Create genome + per-sample variant haplotypes, map with our
+    (parity-proven) mapper to produce per-sample pileups."""
+    names, seqs = make_genome(rng, list(contig_lens), names=names)
+    write_fasta(os.path.join(d, "genome.fa"), names, seqs)
+    g = seqs[0]
+    L = len(g)
+    nvar = 60
+    var_pos = np.sort(rng.choice(np.arange(1000, L - 1000),
+                                 size=nvar + 12, replace=False))
+    snp_pos = set(var_pos[:nvar].tolist())
+    ins_pos = set(var_pos[nvar:nvar + 6].tolist())
+    del_pos = set(var_pos[nvar + 6:].tolist())
+    events = sorted([(p, "S") for p in snp_pos] + [(p, "I") for p in ins_pos]
+                    + [(p, "D") for p in del_pos])
+    alt = {}
+    for i, p in enumerate(sorted(snp_pos)):
+        choices = [x for x in b"ACGT" if x != g[p]]
+        alt[p] = choices[i % 3]
+
+    def hap(mask):
+        parts, last = [], 0
+        for i, (p, kind) in enumerate(events):
+            if not mask[i]:
+                continue
+            parts.append(g[last:p])
+            if kind == "S":
+                parts.append(np.array([alt[p]], dtype=np.uint8))
+                last = p + 1
+            elif kind == "I":
+                parts.append(g[p:p + 1])
+                parts.append(BASES[rng.integers(0, 4, size=3)])
+                last = p + 1
+            else:
+                last = p + 3
+        parts.append(g[last:])
+        return np.concatenate(parts)
+
+    for si in range(n_samples):
+        gt = rng.integers(0, 3, size=len(events))
+        reads = []
+        for h in (hap(gt >= 1), hap(gt == 2)):
+            reads += sample_reads(rng, ["c"], [h], 2500, read_len=100,
+                                  err_rate=0.005, paired=True,
+                                  insert_lo=150, insert_hi=400)
+        rng.shuffle(reads)
+        f1 = os.path.join(d, f"s{si}_1.fastq")
+        f2 = os.path.join(d, f"s{si}_2.fastq")
+        write_fastq(f1, reads, which=0)
+        write_fastq(f2, reads, which=1)
+        run_ref_indexer("genome.fa", "g", cwd=d) if si == 0 else None
+        cfg = MapperConfig(out_base=os.path.join(d, f"sample{si}"),
+                           sdx_path=os.path.join(d, "g.sdx"), paired=True,
+                           files1=[f1], files2=[f2], max_dist=500,
+                           min_dist=0, min_align=0.9, max_reads=100000)
+        run_mapper(cfg)
+
+
+@pytest.fixture(scope="module")
+def call_golden():
+    d = golden_dir("call_3samp")
+    if not os.path.exists(os.path.join(d, "refcall.snp")):
+        rng = np.random.default_rng(99)
+        _plant_and_map(d, rng)
+        subprocess.run([os.path.join(ref_binaries(), "pecaller_O0"),
+                        "pileup", "g.sdx", "5", "refcall", "0.95", "0.001",
+                        "n", "2", "n"], cwd=d, check=True,
+                       stdout=subprocess.DEVNULL)
+    return d
+
+
+def _compare(d, out_base, ref_base):
+    assert open(out_base + ".snp").read() == \
+        open(os.path.join(d, ref_base + ".snp")).read()
+    assert open(out_base + ".dist").read() == \
+        open(os.path.join(d, ref_base + ".dist")).read()
+    for ext in [".base.gz", ".piles.gz"]:
+        with gzip.open(out_base + ext, "rb") as f1, \
+                gzip.open(os.path.join(d, ref_base + ext), "rb") as f2:
+            assert f1.read() == f2.read()
+
+
+def test_caller_parity_3samples(call_golden, tmp_path):
+    d = call_golden
+    cfg = CallerConfig(pileup_ext="pileup",
+                       sdx_path=os.path.join(d, "g.sdx"),
+                       out_base=str(tmp_path / "ourcall"),
+                       prob_to_call=0.95, theta=0.001, haploid=False,
+                       directory=d, nthreads=2)
+    run_caller(cfg)
+    _compare(d, str(tmp_path / "ourcall"), "refcall")
+
+
+def test_caller_parity_haploid(call_golden, tmp_path):
+    d = call_golden
+    if not os.path.exists(os.path.join(d, "refhap.snp")):
+        subprocess.run([os.path.join(ref_binaries(), "pecaller_O0"),
+                        "pileup", "g.sdx", "5", "refhap", "0.95", "0.001",
+                        "y", "2", "n"], cwd=d, check=True,
+                       stdout=subprocess.DEVNULL)
+    cfg = CallerConfig(pileup_ext="pileup",
+                       sdx_path=os.path.join(d, "g.sdx"),
+                       out_base=str(tmp_path / "ourhap"),
+                       prob_to_call=0.95, theta=0.001, haploid=True,
+                       directory=d, nthreads=2)
+    run_caller(cfg)
+    _compare(d, str(tmp_path / "ourhap"), "refhap")
+
+
+def test_caller_parity_guide_bed(call_golden, tmp_path):
+    d = call_golden
+    bed = os.path.join(d, "regions.bed")
+    if not os.path.exists(os.path.join(d, "refbed.snp")):
+        with open(bed, "w") as f:
+            f.write("chr1\t2000\t9000\nchr1\t15000\t23000\n")
+        subprocess.run([os.path.join(ref_binaries(), "pecaller_O0"),
+                        "pileup", "g.sdx", "5", "refbed", "0.95", "0.001",
+                        "n", "2", "n", "regions.bed"], cwd=d, check=True,
+                       stdout=subprocess.DEVNULL)
+    cfg = CallerConfig(pileup_ext="pileup",
+                       sdx_path=os.path.join(d, "g.sdx"),
+                       out_base=str(tmp_path / "ourbed"),
+                       prob_to_call=0.95, theta=0.001, haploid=False,
+                       guide_path=bed, directory=d, nthreads=2)
+    run_caller(cfg)
+    _compare(d, str(tmp_path / "ourbed"), "refbed")

@@ -28,9 +28,18 @@ def have_reference() -> bool:
 
 
 def ref_binaries() -> str:
-    """Build the C reference once; return its bin directory."""
+    """Build the C reference once; return its bin directory.
+
+    pecaller/dump_pileups/pecall_merger are additionally built at -O0 as
+    <name>_O0: at -O3 the caller's producer/consumer handoff races (the
+    worker thread reads td->dom_int before the main thread's store lands,
+    because gcc sinks the dom_int store below the status=DATA_LOADED
+    store), which corrupts the per-site reference allele and makes -O3
+    output nondeterministic run-to-run.  The -O0 build realizes the
+    intended semantics and is the golden oracle for caller outputs.
+    """
     bindir = os.path.join(BUILD_DIR, "bin")
-    if os.path.isfile(os.path.join(bindir, "pemapper")):
+    if os.path.isfile(os.path.join(bindir, "pecaller_O0")):
         return bindir
     shutil.copytree(REF_SRC, BUILD_DIR, dirs_exist_ok=True)
     mk = os.path.join(BUILD_DIR, "Makefile")
@@ -43,6 +52,12 @@ def ref_binaries() -> str:
         f.write(txt)
     subprocess.run(["make"], cwd=BUILD_DIR, check=True,
                    capture_output=True)
+    for prog in ["pecaller", "dump_pileups", "pecall_merger"]:
+        subprocess.run(
+            ["gcc", "-O0", "-w", "-o", os.path.join(bindir, prog + "_O0"),
+             os.path.join(BUILD_DIR, "src", prog + ".c"),
+             "-lm", "-lz", "-lpthread"],
+            check=True, capture_output=True)
     return bindir
 
 
