@@ -1,0 +1,246 @@
+"""Device Smith-Waterman: batched affine-gap glocal DP on TPU.
+
+Production counterpart of the float64 oracle in native/swexact.c.  Scores
+are exact rationals scaled by 36 (match +36, mismatch -12, open 72,
+extend 1) so the DP is integer-exact in int32 — no FP tie noise.  The
+horizontal (read-gap) plane's within-row recursion is solved by the
+cummax transform  z[j] = max(z[j-1], S0[j-1] - open + j*ext)  which is
+exact over the integers, turning the row update into pure vector ops:
+one lax.scan step per reference row keeps everything on the VPU.
+
+The traceback variant re-runs the DP for winner alignments emitting
+packed per-cell decision bits, then a bounded fori_loop walks the path
+on device and emits pileup/insertion events.
+
+Reference recurrences: pemapper.c:1694-1748 (score), :1752-1965 (walk).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MATCH, MISMATCH, OPEN, EXT = 36, -12, 72, 1
+NEG = jnp.int32(-(1 << 30))
+
+# event kinds emitted by the walk
+EV_NONE = 5          # no event this step
+EV_DEL = 4           # kinds 0..3 = base A,C,G,T counted
+
+
+def _bump_row(rb, read_chars, bisulfite: bool):
+    """(B,) ref chars x (B, M) read chars -> (B, M) int32 bump."""
+    rb = rb[:, None]
+    m = (rb == read_chars) | (rb == ord("N")) | (read_chars == ord("N")) \
+        | (rb == ord("n")) | (read_chars == ord("n"))
+    if bisulfite:
+        m = m | (((rb == ord("C")) | (rb == ord("c"))) &
+                 ((read_chars == ord("T")) | (read_chars == ord("t"))))
+    return jnp.where(m, jnp.int32(MATCH), jnp.int32(MISMATCH))
+
+
+def _row0(B, W):
+    j = jnp.arange(W, dtype=jnp.int32)
+    b = -(OPEN + (j - 1) * EXT)
+    s0 = jnp.where(j == 0, 0, b)[None, :].repeat(B, 0)
+    s1 = s0
+    s2 = jnp.where(j == 0, -OPEN, b)[None, :].repeat(B, 0)
+    return s0, s1, s2
+
+
+def _step_core(s0, s1, s2, bump):
+    """One DP row from the previous row's planes. bump: (B, W-1)."""
+    B, W = s0.shape
+    prev3 = jnp.maximum(jnp.maximum(s0, s1), s2)
+    c0 = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), prev3[:, :-1] + bump], axis=1)
+    c1 = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32),
+         jnp.maximum(s0[:, 1:] - OPEN, s1[:, 1:] - EXT)], axis=1)
+    j = jnp.arange(W, dtype=jnp.int32)[None, :]
+    a = jnp.concatenate(
+        [jnp.full((B, 1), -OPEN, jnp.int32),
+         c0[:, :-1] - OPEN + j[:, 1:]], axis=1)
+    z = jax.lax.cummax(a, axis=1)
+    c2 = z - j
+    return c0, c1, c2
+
+
+@functools.partial(jax.jit, static_argnames=("bisulfite", "n_rows"))
+def sw_align_device(refs, blens, reads, rlens, bisulfite: bool = False,
+                    n_rows: int | None = None):
+    """Batched glocal SW scores.
+
+    refs: (B, N) uint8 window chars; blens: (B,) int32 valid rows.
+    reads: (B, M) uint8; rlens: (B,) int32.
+    Returns (score int32 x36, maxk int32, maxi int32).
+    """
+    B, N = refs.shape
+    M = reads.shape[1]
+    W = M + 1
+    n_rows = N if n_rows is None else n_rows
+    s0, s1, s2 = _row0(B, W)
+    read_chars = reads.astype(jnp.int32)
+    col = rlens.astype(jnp.int32)[:, None]
+
+    best0 = jnp.take_along_axis(s0, col, axis=1)[:, 0]
+    carry0 = (s0, s1, s2, best0, jnp.zeros(B, jnp.int32),
+              jnp.zeros(B, jnp.int32))
+
+    def step(carry, i):
+        s0, s1, s2, best, bk, bi = carry
+        rb = refs[:, i - 1].astype(jnp.int32)
+        bump = _bump_row(rb, read_chars, bisulfite)
+        c0, c1, c2 = _step_core(s0, s1, s2, bump)
+        active = (i <= blens)
+        v0 = jnp.take_along_axis(c0, col, axis=1)[:, 0]
+        v1 = jnp.take_along_axis(c1, col, axis=1)[:, 0]
+        v2 = jnp.take_along_axis(c2, col, axis=1)[:, 0]
+        for k, v in ((0, v0), (1, v1), (2, v2)):
+            upd = active & (v > best)
+            best = jnp.where(upd, v, best)
+            bk = jnp.where(upd, k, bk)
+            bi = jnp.where(upd, i, bi)
+        s0 = jnp.where(active[:, None], c0, s0)
+        s1 = jnp.where(active[:, None], c1, s1)
+        s2 = jnp.where(active[:, None], c2, s2)
+        return (s0, s1, s2, best, bk, bi), None
+
+    (s0, s1, s2, best, bk, bi), _ = jax.lax.scan(
+        step, carry0, jnp.arange(1, n_rows + 1, dtype=jnp.int32))
+    return best, bk, bi
+
+
+@functools.partial(jax.jit, static_argnames=("bisulfite", "n_rows"))
+def sw_traceback_device(refs, blens, reads, rlens, bt_k, bt_i,
+                        bisulfite: bool = False, n_rows: int | None = None):
+    """Recompute DP emitting decision bits, then walk the path on device.
+
+    Per cell, 4 bits: a0 (2b: plane argmax with >-priority at this cell),
+    b1 (S1-ext > S0-open), b2 (S2-ext > S0-open).
+
+    Returns (ev_pos (B, T) int32 ref-window row of each consuming step or
+    -1, ev_kind (B, T) int8, ins_j (B, T) int16 read-slice start for
+    insertion attachments or -1, ins_len (B, T) int16).
+    """
+    B, N = refs.shape
+    M = reads.shape[1]
+    W = M + 1
+    n_rows = N if n_rows is None else n_rows
+    s0, s1, s2 = _row0(B, W)
+    read_chars = reads.astype(jnp.int32)
+
+    def bits_of(c0, c1, c2):
+        a0 = jnp.where(c1 > c0, 1, 0).astype(jnp.uint8)
+        m = jnp.maximum(c0, c1)
+        a0 = jnp.where(c2 > m, 2, a0).astype(jnp.uint8)
+        b1 = (c1 - EXT > c0 - OPEN).astype(jnp.uint8)
+        b2 = (c2 - EXT > c0 - OPEN).astype(jnp.uint8)
+        return a0 | (b1 << 2) | (b2 << 3)
+
+    def step(carry, i):
+        s0, s1, s2 = carry
+        rb = refs[:, i - 1].astype(jnp.int32)
+        bump = _bump_row(rb, read_chars, bisulfite)
+        c0, c1, c2 = _step_core(s0, s1, s2, bump)
+        active = (i <= blens)[:, None]
+        s0 = jnp.where(active, c0, s0)
+        s1 = jnp.where(active, c1, s1)
+        s2 = jnp.where(active, c2, s2)
+        return (s0, s1, s2), bits_of(s0, s1, s2)
+
+    row0bits = bits_of(*_row0(B, W))
+    (_, _, _), rows = jax.lax.scan(
+        step, (s0, s1, s2), jnp.arange(1, n_rows + 1, dtype=jnp.int32))
+    tb = jnp.concatenate([row0bits[None], rows], axis=0)   # (nn+1, B, W)
+    tb = jnp.transpose(tb, (1, 0, 2))                      # (B, nn+1, W)
+
+    T = n_rows + M + 2
+    ev_pos = jnp.full((B, T), -1, jnp.int32)
+    ev_kind = jnp.full((B, T), EV_NONE, jnp.int8)
+    ins_j = jnp.full((B, T), -1, jnp.int16)
+    ins_len = jnp.zeros((B, T), jnp.int16)
+
+    base_map = jnp.full(256, -1, jnp.int8)
+    base_map = base_map.at[ord("A")].set(0).at[ord("C")].set(1) \
+                       .at[ord("G")].set(2).at[ord("T")].set(3)
+
+    arange_b = jnp.arange(B)
+
+    def walk(t, st):
+        ii, jj, kk, ilen, ev_pos, ev_kind, ins_j, ins_len = st
+        aliveb = (ii > 0) & (jj > 0)
+        i1 = jnp.maximum(ii - 1, 0)
+        j1 = jnp.maximum(jj - 1, 0)
+        bits_diag = tb[arange_b, i1, j1]
+        bits_left = tb[arange_b, ii, j1]
+        bits_up = tb[arange_b, i1, jj]
+        a0 = (bits_diag & 3).astype(jnp.int32)
+        b2 = ((bits_left >> 3) & 1).astype(jnp.int32)
+        b1 = ((bits_up >> 2) & 1).astype(jnp.int32)
+        # step targets per current plane
+        ni = jnp.where(kk == 2, ii, i1)
+        nj = jnp.where(kk == 1, jj, j1)
+        nk = jnp.where(kk == 0, a0,
+                       jnp.where(kk == 2, jnp.where(b2 == 1, 2, 0),
+                                 jnp.where(b1 == 1, 1, 0)))
+        consume_ref = aliveb & (kk != 2)
+        diag = aliveb & (kk == 0)
+        rb = reads[arange_b, j1].astype(jnp.int32)
+        kind = jnp.where(diag, base_map[rb].astype(jnp.int32),
+                         jnp.int32(EV_DEL))
+        kind = jnp.where(consume_ref & (kind >= 0), kind, EV_NONE)
+        ev_pos = ev_pos.at[:, t].set(
+            jnp.where(consume_ref, i1, -1))
+        ev_kind = ev_kind.at[:, t].set(kind.astype(jnp.int8))
+        # insertion attachment: pending run ends at a consuming step
+        attach = consume_ref & (ilen > 0)
+        ins_j = ins_j.at[:, t].set(
+            jnp.where(attach, jj.astype(jnp.int16), -1))
+        ins_len = ins_len.at[:, t].set(
+            jnp.where(attach, ilen.astype(jnp.int16), 0))
+        ilen = jnp.where(aliveb,
+                         jnp.where(kk == 2, ilen + 1, 0), ilen)
+        ii = jnp.where(aliveb, ni, ii)
+        jj = jnp.where(aliveb, nj, jj)
+        kk = jnp.where(aliveb, nk, kk)
+        return (ii, jj, kk, ilen, ev_pos, ev_kind, ins_j, ins_len)
+
+    st = (bt_i.astype(jnp.int32), rlens.astype(jnp.int32),
+          bt_k.astype(jnp.int32), jnp.zeros(B, jnp.int32),
+          ev_pos, ev_kind, ins_j, ins_len)
+    st = jax.lax.fori_loop(0, T - 1, walk, st)
+    ii, jj, kk, ilen, ev_pos, ev_kind, ins_j, ins_len = st
+    # final attachment when the walk exits with a pending run and i >= 1
+    fin = (ilen > 0) & (ii >= 1)
+    ev_pos = ev_pos.at[:, T - 1].set(jnp.where(fin, ii - 1, -1))
+    ev_kind = ev_kind.at[:, T - 1].set(
+        jnp.where(fin, jnp.int32(EV_NONE), EV_NONE).astype(jnp.int8))
+    ins_j = ins_j.at[:, T - 1].set(
+        jnp.where(fin, jj.astype(jnp.int16), -1))
+    ins_len = ins_len.at[:, T - 1].set(
+        jnp.where(fin, ilen.astype(jnp.int16), 0))
+    return ev_pos, ev_kind, ins_j, ins_len
+
+
+@functools.partial(jax.jit, static_argnames=("genome_size",))
+def pileup_scatter(ev_pos_abs, ev_kind, ins_mask, genome_size: int):
+    """Accumulate walk events into a (genome_size, 6) uint16 pileup
+    (wrapping adds, matching the reference's unsigned short counters).
+
+    ev_pos_abs: (E,) absolute seq positions (or -1), ev_kind (E,) int8,
+    ins_mask (E,) bool marking insertion attachments (column 5).
+    """
+    counts = jnp.zeros((genome_size, 6), jnp.uint16)
+    valid = (ev_pos_abs >= 0) & (ev_kind != EV_NONE)
+    pos = jnp.where(valid, ev_pos_abs, 0)
+    kind = jnp.where(valid, ev_kind.astype(jnp.int32), 0)
+    counts = counts.at[pos, kind].add(
+        valid.astype(jnp.uint16), mode="drop")
+    ivalid = (ev_pos_abs >= 0) & ins_mask
+    ipos = jnp.where(ivalid, ev_pos_abs, 0)
+    counts = counts.at[ipos, 5].add(ivalid.astype(jnp.uint16), mode="drop")
+    return counts
