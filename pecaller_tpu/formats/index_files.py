@@ -190,8 +190,10 @@ def load_index(basename: str, cache: bool = True) -> SeedIndex:
     mdx_path = basename + ".mdx"
     positions = np.memmap(mdx_path, dtype="<u4", mode="r") \
         if os.path.getsize(mdx_path) else np.zeros(0, dtype=np.uint32)
-    if cache and os.path.exists(cache_path) and \
-            os.path.getmtime(cache_path) >= os.path.getmtime(idx_path):
+    if os.path.exists(cache_path) and (
+            not os.path.exists(idx_path) or
+            (cache and
+             os.path.getmtime(cache_path) >= os.path.getmtime(idx_path))):
         z = np.load(cache_path)
         keys, starts0 = z["keys"], z["starts0"]
     else:

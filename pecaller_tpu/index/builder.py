@@ -52,7 +52,7 @@ def _parse_fasta_bytes(data: bytes):
 
 
 def build_index(fasta_path: str, basename: str, bisulfite: bool = False,
-                gzip_level: int = 1) -> SdxInfo:
+                gzip_level: int = 1, write_idx: bool = True) -> SdxInfo:
     with open(fasta_path, "rb") as f:
         data = f.read()
     names, seqs = _parse_fasta_bytes(data)
@@ -96,7 +96,13 @@ def build_index(fasta_path: str, basename: str, bisulfite: bool = False,
     keys, first = np.unique(kmers_sorted, return_index=True)
     starts = np.concatenate([first, [kmers_sorted.shape[0]]]).astype(np.int64)
     index = SeedIndex(keys=keys, starts=starts, positions=positions_sorted)
-    write_index_files(basename, index, gzip_level=gzip_level)
+    if write_idx:
+        write_index_files(basename, index, gzip_level=gzip_level)
+    else:
+        # skip the 16 GB dense .idx stream; persist the sparse form only
+        positions_sorted.astype("<u4").tofile(basename + ".mdx")
+        np.savez(basename + ".sidx.npz", keys=keys, starts0=starts[:-1])
+
 
     info = SdxInfo(names=names,
                    stored_lens=np.asarray(stored_lens, dtype=np.uint32),

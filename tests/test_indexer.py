@@ -61,7 +61,7 @@ def test_bisulfite_mode(tmp_path):
     fasta = str(tmp_path / "g.fa")
     write_fasta(fasta, names, seqs)
     ours = str(tmp_path / "bis")
-    build_index(fasta, ours, bisulfite=True)
+    build_index(fasta, ours, bisulfite=True, write_idx=False)
     idx = load_index(ours, cache=False)
     # in bisulfite space C==T: no key may contain the code pattern of C (01)
     # distinguishable from T; spot-check that C-containing 16-mers map to the
