@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""End-to-end mapping throughput benchmark (reads/s on one chip).
+
+Generates (once, cached in .bench/) an E. coli-scale genome + 100 bp
+paired reads, maps them with the TPU-backed engine, and prints one JSON
+line:
+
+  {"metric": "mapped reads/s/chip", "value": N, "unit": "reads/s",
+   "vs_baseline": R}
+
+vs_baseline is measured against the reference C pemapper on this host's
+CPUs, extrapolated linearly to the 64-core node of BASELINE.json
+(reads/s_tpu / (reads/s_per_core * 64)).  The C baseline is measured once
+and cached in .bench/c_baseline.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench")
+GENOME_LEN = 4_600_000
+N_READS = 100_000
+READ_LEN = 100
+
+
+def _prepare_data():
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    fa = os.path.join(BENCH_DIR, "genome.fa")
+    if not os.path.exists(os.path.join(BENCH_DIR, "r1.fastq")):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from util import make_genome, write_fasta, sample_reads, write_fastq
+        rng = np.random.default_rng(2024)
+        names, seqs = make_genome(rng, [GENOME_LEN], names=["ecoli"])
+        write_fasta(fa, names, seqs)
+        reads = sample_reads(rng, names, seqs, N_READS, read_len=READ_LEN,
+                             err_rate=0.005, paired=True, insert_lo=150,
+                             insert_hi=450, indel_rate=0.02, max_indel=4)
+        write_fastq(os.path.join(BENCH_DIR, "r1.fastq"), reads, which=0)
+        write_fastq(os.path.join(BENCH_DIR, "r2.fastq"), reads, which=1)
+    if not os.path.exists(os.path.join(BENCH_DIR, "g.sdx")):
+        from pecaller_tpu.index import build_index
+        # full .idx so the C baseline can also load this index
+        build_index(fa, os.path.join(BENCH_DIR, "g"), write_idx=True)
+    return BENCH_DIR
+
+
+def _c_baseline(d):
+    """reads/s of the reference pemapper on this host (cached)."""
+    cache = os.path.join(d, "c_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    try:
+        from util import ref_binaries, have_reference
+        if not have_reference():
+            raise RuntimeError("no reference")
+        bindir = ref_binaries()
+        ncpu = os.cpu_count() or 2
+        threads = ncpu + 1          # reference reserves one for I/O
+        t0 = time.time()
+        subprocess.run(
+            [os.path.join(bindir, "pemapper"), "cbase", "g.sdx", "p",
+             "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
+             str(threads), str(2 * N_READS)],
+            cwd=d, check=True, capture_output=True, timeout=3600)
+        elapsed = time.time() - t0
+        # subtract the one-time 16 GB .idx load by timing a 0-read run
+        t0 = time.time()
+        subprocess.run(
+            [os.path.join(bindir, "pemapper"), "cbase0", "g.sdx", "p",
+             "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
+             str(threads), "1"],
+            cwd=d, check=True, capture_output=True, timeout=3600)
+        setup = time.time() - t0
+        compute = max(elapsed - setup, 1e-3)
+        result = {"reads_per_s": 2 * N_READS / compute,
+                  "cores": ncpu, "elapsed": elapsed, "setup": setup}
+    except Exception as e:  # reference unavailable: skip baseline
+        result = {"reads_per_s": None, "cores": None, "error": str(e)}
+    with open(cache, "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def main():
+    d = _prepare_data()
+    from pecaller_tpu.formats.sdx import read_sdx, read_seq
+    from pecaller_tpu.formats.index_files import load_index
+    from pecaller_tpu.formats.fastq import FastqBatcher
+    from pecaller_tpu.mapper.device_engine import DeviceMapperEngine
+
+    sdx = read_sdx(os.path.join(d, "g.sdx"))
+    genome = read_seq(os.path.join(d, "g.seq"), sdx.genome_size)
+    index = load_index(os.path.join(d, "g"))
+    eng = DeviceMapperEngine(sdx, genome, index, paired=True, min_align=0.9,
+                             min_dist=0, max_dist=500,
+                             nthreads=os.cpu_count() or 2)
+
+    batches = []
+    batcher = FastqBatcher(os.path.join(d, "r1.fastq"),
+                           os.path.join(d, "r2.fastq"), batch_size=20000)
+    for b in batcher.batches():
+        batches.append(b)
+
+    # warmup (compiles the SW/traceback kernels)
+    s1, l1, s2, l2, nos = batches[0]
+    eng.map_batch(s1[:2048], l1[:2048], s2[:2048], l2[:2048],
+                  read_nos=nos[:2048])
+
+    t0 = time.time()
+    total = 0
+    for s1, l1, s2, l2, nos in batches:
+        eng.map_batch(s1, l1, s2, l2, read_nos=nos)
+        total += 2 * len(l1)
+    np.asarray(eng.dev_counts)      # sync device work
+    elapsed = time.time() - t0
+    reads_per_s = total / elapsed
+
+    cb = _c_baseline(d)
+    vs = None
+    if cb.get("reads_per_s"):
+        per_core = cb["reads_per_s"] / cb["cores"]
+        vs = reads_per_s / (per_core * 64.0)
+    print(json.dumps({
+        "metric": "mapped reads/s/chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,7 @@ class MapperConfig:
     max_reads: int = 2 * 10**9
     nthreads: int = 2
     batch_size: int = 20000
+    device: bool = False      # True: SW/traceback/pileup on TPU (ops/sw.py)
 
 
 def _strip_sdx(path: str) -> str:
@@ -55,7 +56,11 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
     base = _strip_sdx(cfg.sdx_path)
     genome = read_seq(base + ".seq", sdx.genome_size)
     index = load_index(base)
-    eng = MapperEngine(sdx, genome, index, bisulfite=cfg.bisulfite,
+    if cfg.device:
+        from .device_engine import DeviceMapperEngine as _Eng
+    else:
+        _Eng = MapperEngine
+    eng = _Eng(sdx, genome, index, bisulfite=cfg.bisulfite,
                        min_align=cfg.min_align, min_dist=cfg.min_dist,
                        max_dist=cfg.max_dist, paired=cfg.paired,
                        nthreads=cfg.nthreads)
