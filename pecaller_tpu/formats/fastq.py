@@ -63,10 +63,12 @@ class FastqBatcher:
     """
 
     def __init__(self, path1: str, path2: str | None = None,
-                 batch_size: int = 20000, max_reads: int = 2 * 10**9):
+                 batch_size: int = 20000, max_reads: int = 2 * 10**9,
+                 trim_start: int = 0, trim_end: int = 0):
         self.path1, self.path2 = path1, path2
         self.batch_size = batch_size
         self.max_reads = max_reads
+        self.trim_start, self.trim_end = trim_start, trim_end
         self.total_records = 0   # == reference current_read at loop exit
 
     def batches(self):
@@ -93,6 +95,13 @@ class FastqBatcher:
                     # reference stops the whole loop when either file of a
                     # pair runs out (pemapper.c:727-741)
                     break
+            if self.trim_start or self.trim_end:
+                # pemapper_tsw trimming: applied before the length gate
+                s1 = s1[self.trim_start:]
+                s1 = s1[:max(0, len(s1) - self.trim_end)]
+                if s2 is not None:
+                    s2 = s2[self.trim_start:]
+                    s2 = s2[:max(0, len(s2) - self.trim_end)]
             if len(s1) <= 12:
                 break
             a1 = np.frombuffer(s1, dtype=np.uint8)

@@ -106,3 +106,8 @@ class DeviceMapperEngine(MapperEngine):
     def final_pileup(self) -> np.ndarray:
         host = self.pileup.sum(axis=0, dtype=np.uint16)
         return (host + np.asarray(self.dev_counts)).astype(np.uint16)
+
+    def reset_group(self) -> None:
+        super().reset_group()
+        self.dev_counts = self._jnp.zeros(
+            (self.sdx.genome_size, 6), self._jnp.uint16)

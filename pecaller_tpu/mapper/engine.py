@@ -324,3 +324,10 @@ class MapperEngine:
         """Sum per-thread slabs with uint16 wraparound (reference unsigned
         short semantics)."""
         return self.pileup.sum(axis=0, dtype=np.uint16)
+
+    def reset_group(self) -> None:
+        """Flush-and-zero between tsw output groups
+        (pemapper_tsw.c dump_output: counters, insertions, stats)."""
+        self.pileup[:] = 0
+        self.ins_records = []
+        self.stats = MapStats()

@@ -43,6 +43,12 @@ class MapperConfig:
     nthreads: int = 2
     batch_size: int = 20000
     device: bool = False      # True: SW/traceback/pileup on TPU (ops/sw.py)
+    # pemapper_tsw extensions (pemapper_tsw.c): fixed trimming applied to
+    # every read, and optional per-file output-group basenames that flush
+    # and reset the pileup between groups (dump_output :848-962)
+    trim_start: int = 0
+    trim_end: int = 0
+    out_names: list = field(default_factory=list)
 
 
 def _strip_sdx(path: str) -> str:
@@ -66,11 +72,23 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
                        nthreads=cfg.nthreads)
     tot_pairs = 0
     order_base = 0
+    cur_base = cfg.out_base
     for it in range(len(cfg.files1)):
+        new_name = cfg.out_names[it] if it < len(cfg.out_names) and \
+            cfg.out_names[it] else None
+        if new_name is not None and new_name != cur_base and it > 0:
+            write_outputs(cfg, eng, sdx, genome, tot_pairs,
+                          out_base=cur_base)
+            eng.reset_group()
+            tot_pairs = 0
+        if new_name is not None:
+            cur_base = new_name
         f1 = cfg.files1[it]
         f2 = cfg.files2[it] if cfg.paired else None
         batcher = FastqBatcher(f1, f2, batch_size=cfg.batch_size,
-                               max_reads=cfg.max_reads)
+                               max_reads=cfg.max_reads,
+                               trim_start=cfg.trim_start,
+                               trim_end=cfg.trim_end)
         eng._order_counter = order_base
         maps1_parts, maps2_parts = [], []
         for batch in batcher.batches():
@@ -89,20 +107,22 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
         tot_pairs += n_rec
         order_base += n_rec
 
-    write_outputs(cfg, eng, sdx, genome, tot_pairs)
+    write_outputs(cfg, eng, sdx, genome, tot_pairs, out_base=cur_base)
     return eng
 
 
 def write_outputs(cfg: MapperConfig, eng: MapperEngine, sdx, genome,
-                  tot_pairs: int) -> None:
+                  tot_pairs: int, out_base: str | None = None) -> None:
+    if out_base is None:
+        out_base = cfg.out_base
     st = eng.stats
     names = MATE_NAMES_PAIRED if cfg.paired else MATE_NAMES_SINGLE
 
     if st.total_bases <= 0:
         # reference exits early: empty (unclosed) gz outputs + zero summary
-        open(cfg.out_base + ".pileup.gz", "wb").close()
-        open(cfg.out_base + ".indel.txt.gz", "wb").close()
-        with open(cfg.out_base + ".summary.txt", "w") as f:
+        open(out_base + ".pileup.gz", "wb").close()
+        open(out_base + ".indel.txt.gz", "wb").close()
+        with open(out_base + ".summary.txt", "w") as f:
             f.write("\n" + "=" * 64)
             f.write("\n================= Summary " + "=" * 38)
             f.write("\n" + "=" * 64)
@@ -126,7 +146,7 @@ def write_outputs(cfg: MapperConfig, eng: MapperEngine, sdx, genome,
     nz = np.nonzero(tot_c > 0)[0]
 
     from ..formats.pileup import write_pileup
-    write_pileup(cfg.out_base + ".pileup.gz", nz, counts[nz])
+    write_pileup(out_base + ".pileup.gz", nz, counts[nz])
 
     # group insertion strings per position in canonical arrival order
     ins_by_pos = {}
@@ -134,7 +154,7 @@ def write_outputs(cfg: MapperConfig, eng: MapperEngine, sdx, genome,
         ins_by_pos.setdefault(gpos, []).append(s)
 
     sstarts = sdx.sstarts
-    with gzip.open(cfg.out_base + ".indel.txt.gz", "wt") as f:
+    with gzip.open(out_base + ".indel.txt.gz", "wt") as f:
         f.write("Fragment\tPositions\tReference Base\tTotal Coverage"
                 "\tReference Reads\tNo Deletions\tNo Insertions"
                 "\tInsertion Sequence")
@@ -167,7 +187,7 @@ def write_outputs(cfg: MapperConfig, eng: MapperEngine, sdx, genome,
         avg_dist /= float(st.no_dists)
     avg_reads = float(st.total_bases) / float(sdx.genome_size)
 
-    with open(cfg.out_base + ".summary.txt", "w") as f:
+    with open(out_base + ".summary.txt", "w") as f:
         f.write("\n" + "=" * 64)
         f.write("\n================= Summary " + "=" * 38)
         f.write("\n" + "=" * 64)
