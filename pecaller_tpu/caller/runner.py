@@ -44,6 +44,10 @@ class CallerConfig:
     directory: str = "."
     nthreads: int = 2
     chunk_sites: int = 8192
+    # dump_pileups mode (src/dump_pileups.c): EM disabled, every site gets
+    # a .piles.gz row, calls print as N (p=0 for deep samples, p=1 shallow),
+    # no .snp rows
+    dump_mode: bool = False
 
 
 def _chrom_type(name: str) -> int:
@@ -214,6 +218,13 @@ def run_caller(cfg: CallerConfig):
     out_denovo = np.zeros(n_sites, dtype=np.int32)
     out_acnt = np.zeros((n_sites, 6), dtype=np.int32)
     out_active = np.zeros((n_sites, indiv), dtype=np.uint8)
+
+    if cfg.dump_mode:
+        _write_dump_outputs(cfg, sdx, sample_names, all_pos, which,
+                            contig_pos, refc, data)
+        _write_dist(cfg, sample_names, tot_bases, counts_hist, mean,
+                    base_count, max_cov)
+        return dict(n_sites=n_sites, sample_names=sample_names)
 
     cidx = np.nonzero(callable_m)[0]
     for lo in range(0, len(cidx), cfg.chunk_sites):
@@ -406,3 +417,37 @@ def _write_dist(cfg, sample_names, tot_bases, counts_hist, mean, base_count,
         for i in range(indiv):
             f.write("\t%d" % counts_hist[i, MAX_DIST - 1])
         f.write("\n")
+
+
+def _write_dump_outputs(cfg, sdx, sample_names, all_pos, which, contig_pos,
+                        refc, data):
+    """dump_pileups output: every site in .piles.gz; base rows all-N
+    (dump_pileups.c:1381-1478, EM loop disabled at :1230)."""
+    min_depth_needed = 2
+    basef = gzip.open(cfg.out_base + ".base.gz", "wt", compresslevel=6)
+    pilef = gzip.open(cfg.out_base + ".piles.gz", "wt", compresslevel=6)
+    open(cfg.out_base + ".snp", "w").close()
+    basef.write("Fragment\tPosition\tReference")
+    pilef.write("Fragment\tPosition\tReference")
+    for nm in sample_names:
+        basef.write("\t%s\t" % nm)
+        pilef.write("\t%s\t\t\t\t\t" % nm)
+    indiv = len(sample_names)
+    tot = data.astype(np.int64).sum(axis=2)     # includes Ins (quirk)
+    for s in range(len(all_pos)):
+        frag = sdx.names[which[s]]
+        pos = int(contig_pos[s])
+        ref = chr(refc[s])
+        row = ["\n%s\t%d\t%c" % (frag, pos, ref)]
+        prow = ["\n%s\t%d\t%c" % (frag, pos, ref)]
+        for i in range(indiv):
+            if tot[s, i] > min_depth_needed and ref != "N":
+                row.append("\tN\t0")
+            else:
+                row.append("\tN\t1")
+            for j in range(6):
+                prow.append("\t%d" % data[s, i, j])
+        basef.write("".join(row))
+        pilef.write("".join(prow))
+    basef.close()
+    pilef.close()

@@ -103,6 +103,16 @@ def cmd_pecaller(argv):
     return 0
 
 
+def cmd_dump_pileups(argv):
+    from .caller import run_caller, CallerConfig
+    cfg = CallerConfig(pileup_ext=argv[0], sdx_path=argv[1],
+                       out_base=argv[3], prob_to_call=float(argv[4]),
+                       theta=float(argv[5]), haploid=_yes(argv[6]),
+                       nthreads=max(1, int(argv[7]) - 1), dump_mode=True)
+    run_caller(cfg)
+    return 0
+
+
 def cmd_pecall_merger(argv):
     from .cohort import run_merger
     # maxsnps/maxsamples (argv[0:2]) are allocation hints; unused here
@@ -227,6 +237,8 @@ def main(argv=None):
         return cmd_pemapper(rest, tsw=True)
     if cmd == "pecaller":
         return cmd_pecaller(rest)
+    if cmd == "dump_pileups":
+        return cmd_dump_pileups(rest)
     if cmd == "pecall_merger":
         return cmd_pecall_merger(rest)
     if cmd == "snp_to_vcf":
