@@ -19,13 +19,98 @@ def _pad_to(x: int, step: int) -> int:
     return ((x + step - 1) // step + 1) * step if x % step else x + step
 
 
+def _bucket_b(n: int, lo: int = 512) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 class DeviceMapperEngine(MapperEngine):
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, device_seeds: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
+        from ..utils import enable_compilation_cache
+        enable_compilation_cache()
         import jax.numpy as jnp
         self._jnp = jnp
         self.dev_counts = jnp.zeros((self.sdx.genome_size, 6), jnp.uint16)
         self._shape_cache = {}
+        self.n_fallback = 0
+        self._seed_fn = None
+        if device_seeds:
+            from .device_seeds import (DeviceSeedIndex, build_seed_chain_fn,
+                                       HIT_CAP)
+            self._dindex = DeviceSeedIndex(self.index)
+            self._seed_fns = {}
+            self._seed_fn = True   # sentinel; per-bucket fns built lazily
+            self._hit_cap = HIT_CAP
+
+    def _seed_bucket_fn(self, s_needed: int):
+        from .device_seeds import build_seed_chain_fn
+        for b in (8, 12, 20):
+            if s_needed <= b:
+                break
+        if b not in self._seed_fns:
+            self._seed_fns[b] = build_seed_chain_fn(
+                self._dindex, bisulfite=self.bisulfite, s_max=b)
+        return self._seed_fns[b], b
+
+    def _initial_map(self, seqs, lens):
+        if self._seed_fn is None:
+            return super()._initial_map(seqs, lens)
+        from .seeds import segment_offsets, revcomp_batch
+        from .engine import MAX_HITS
+        B = seqs.shape[0]
+        n_count = (seqs == ord("N")).sum(axis=1)
+        skip = (n_count >= 1 + lens // 10).astype(np.int32)
+        n_segs, offs = segment_offsets(lens)
+        tc = n_segs - 1
+        min_match0 = np.minimum(np.maximum(1, tc), 4)
+        over4 = tc > 4
+        min_match0[over4] = np.minimum((4 * tc[over4]) // 5, 4)
+
+        fn, b = self._seed_bucket_fn(int(n_segs.max()))
+        Bp = _bucket_b(B)
+        if Bp != B or seqs.shape[1] != 304:
+            seqs_p = np.zeros((Bp, 304), dtype=np.uint8)
+            seqs_p[:B, :seqs.shape[1]] = seqs
+        else:
+            seqs_p = seqs
+        pad = lambda a, fill=0: np.concatenate(
+            [a, np.full((Bp - B,) + a.shape[1:], fill, a.dtype)]) \
+            if Bp != B else a
+        h16, o16, or16, tot16, fb = fn(
+            seqs_p, pad(lens.astype(np.int32), 13),
+            pad(offs[:, :b].astype(np.int32)),
+            pad(n_segs.astype(np.int32), 1),
+            pad(min_match0.astype(np.int32), 1),
+            pad(skip, 1))
+        h16 = np.asarray(h16)[:B]
+        o16 = np.asarray(o16)[:B]
+        or16 = np.asarray(or16)[:B]
+        tot16 = np.asarray(tot16)[:B]
+        fb = np.asarray(fb)[:B]
+        tot = tot16.copy()
+
+        hits = np.zeros((B, MAX_HITS), dtype=np.uint32)
+        hits_off = np.zeros((B, MAX_HITS), dtype=np.int32)
+        orient = np.zeros((B, MAX_HITS), dtype=np.int8)
+        hits[:, :self._hit_cap] = h16.astype(np.int64).astype(np.uint32)
+        hits_off[:, :self._hit_cap] = o16
+        orient[:, :self._hit_cap] = or16
+
+        rev = revcomp_batch(seqs, lens)
+        nfb = int(fb.sum())
+        if nfb:
+            self.n_fallback += nfb
+            sel = np.nonzero(fb)[0]
+            hh, ho, oo, tt, _ = super()._initial_map(
+                np.ascontiguousarray(seqs[sel]), lens[sel])
+            hits[sel] = hh
+            hits_off[sel] = ho
+            orient[sel] = oo
+            tot[sel] = tt
+        return hits, hits_off, orient, tot, rev
 
     # pad widths to coarse buckets so jit recompiles stay rare
     def _bucket(self, n, m):
@@ -37,17 +122,22 @@ class DeviceMapperEngine(MapperEngine):
             return (np.zeros(0), np.zeros(0, np.int32),
                     np.zeros(0, np.int32))
         N, M = self._bucket(refs.shape[1], reads.shape[1])
-        refs_p = np.zeros((H, N), dtype=np.uint8)
-        refs_p[:, :refs.shape[1]] = refs
-        reads_p = np.ones((H, M), dtype=np.uint8)   # pad != ref pad (0)
-        reads_p[:, :reads.shape[1]] = reads
-        score, bk, bi = dsw.sw_align_device(refs_p, blens.astype(np.int32),
-                                            reads_p, rlens.astype(np.int32),
+        Hp = _bucket_b(H)
+        refs_p = np.zeros((Hp, N), dtype=np.uint8)
+        refs_p[:H, :refs.shape[1]] = refs
+        reads_p = np.ones((Hp, M), dtype=np.uint8)   # pad != ref pad (0)
+        reads_p[:H, :reads.shape[1]] = reads
+        blens_p = np.zeros(Hp, np.int32)
+        blens_p[:H] = blens
+        rlens_p = np.full(Hp, 1, np.int32)
+        rlens_p[:H] = rlens
+        score, bk, bi = dsw.sw_align_device(refs_p, blens_p, reads_p,
+                                            rlens_p,
                                             bisulfite=self.bisulfite,
                                             n_rows=N)
-        return (np.asarray(score).astype(np.float64) / 36.0,
-                np.asarray(bk, dtype=np.int32),
-                np.asarray(bi, dtype=np.int32))
+        return (np.asarray(score)[:H].astype(np.float64) / 36.0,
+                np.asarray(bk)[:H].astype(np.int32),
+                np.asarray(bi)[:H].astype(np.int32))
 
     def _backtrack_end(self, seqs, lens, rev, orient, flat, best, use, end,
                        read_nos):
@@ -73,25 +163,33 @@ class DeviceMapperEngine(MapperEngine):
 
         N, M = self._bucket(width, oriented.shape[1])
         H = len(winners)
-        refs_p = np.zeros((H, N), dtype=np.uint8)
-        refs_p[:, :width] = refs
-        reads_p = np.ones((H, M), dtype=np.uint8)
-        reads_p[:, :oriented.shape[1]] = oriented
+        Hp = _bucket_b(H)
+        refs_p = np.zeros((Hp, N), dtype=np.uint8)
+        refs_p[:H, :width] = refs
+        reads_p = np.ones((Hp, M), dtype=np.uint8)
+        reads_p[:H, :oriented.shape[1]] = oriented
+        blens_p = np.zeros(Hp, np.int32); blens_p[:H] = blens
+        rlens_p = np.full(Hp, 1, np.int32); rlens_p[:H] = rlens
+        kp = np.zeros(Hp, np.int32); kp[:H] = out_k
+        ip = np.zeros(Hp, np.int32); ip[:H] = out_i
 
         ev_pos, ev_kind, ins_j, ins_len = dsw.sw_traceback_device(
-            refs_p, blens, reads_p, rlens, out_k, out_i,
+            refs_p, blens_p, reads_p, rlens_p, kp, ip,
             bisulfite=self.bisulfite, n_rows=N)
-        # absolute positions + scatter on device
-        pos0 = jnp.asarray(starts.astype(np.int64))[:, None]
+        # absolute positions + scatter on device (padded rows walk zero
+        # steps and contribute nothing)
+        starts_p = np.zeros(Hp, np.int64)
+        starts_p[:H] = starts
+        pos0 = jnp.asarray(starts_p)[:, None].astype(jnp.int32)
         ev_pos_abs = jnp.where(ev_pos >= 0, ev_pos + pos0, -1)
-        ins_mask = jnp.asarray(np.asarray(ins_j)) >= 0
+        ins_mask = ins_j >= 0
         self.dev_counts = self.dev_counts + dsw.pileup_scatter(
             ev_pos_abs.reshape(-1), ev_kind.reshape(-1),
             ins_mask.reshape(-1), genome_size=self.sdx.genome_size)
 
-        ins_j_np = np.asarray(ins_j)
-        ins_len_np = np.asarray(ins_len)
-        ev_pos_np = np.asarray(ev_pos)
+        ins_j_np = np.asarray(ins_j)[:H]
+        ins_len_np = np.asarray(ins_len)[:H]
+        ev_pos_np = np.asarray(ev_pos)[:H]
         wb, wt = np.nonzero(ins_j_np >= 0)
         for b, t in zip(wb, wt):
             w = winners[b]

@@ -1,0 +1,3 @@
+from .jaxcache import enable_compilation_cache
+
+__all__ = ["enable_compilation_cache"]
