@@ -146,3 +146,60 @@ def test_caller_parity_guide_bed(call_golden, tmp_path):
                        guide_path=bed, directory=d, nthreads=2)
     run_caller(cfg)
     _compare(d, str(tmp_path / "ourbed"), "refbed")
+
+
+@pytest.fixture(scope="module")
+def denovo_golden():
+    """Hand-crafted trio pileups that force DENOVO_ rows."""
+    import gzip as _gz
+    from pecaller_tpu.formats.pileup import write_pileup
+    d = golden_dir("call_denovo")
+    if not os.path.exists(os.path.join(d, "refdn.snp")):
+        rng = np.random.default_rng(5)
+        names, seqs = make_genome(rng, [2000])
+        write_fasta(os.path.join(d, "genome.fa"), names, seqs)
+        run_ref_indexer("genome.fa", "g", cwd=d)
+        with _gz.open(os.path.join(d, "g.seq"), "rb") as f:
+            g = f.read()
+        base_col = {65: 0, 67: 1, 71: 2, 84: 3}
+        pos = np.arange(200, 220, dtype=np.uint32)
+
+        def mk(name, het_sites, dp):
+            cnt = np.zeros((20, 6), dtype=np.uint16)
+            for k, p in enumerate(pos):
+                rc = base_col[g[p]]
+                if k in het_sites:
+                    cnt[k, rc] = dp // 2
+                    cnt[k, (rc + 1) % 4] = dp // 2
+                else:
+                    cnt[k, rc] = dp
+            write_pileup(os.path.join(d, f"{name}.pileup.gz"), pos, cnt)
+
+        mk("dad", set(), 60)
+        mk("mom", set(), 60)
+        mk("kid", {5, 11}, 100)
+        with open(os.path.join(d, "trio.ped"), "w") as f:
+            f.write("fam1\tdad\t0\t0\t1\nfam1\tmom\t0\t0\t2\n"
+                    "fam1\tkid\tdad\tmom\t1\n")
+        subprocess.run([os.path.join(ref_binaries(), "pecaller_O0"),
+                        "pileup", "g.sdx", "5", "refdn", "0.95", "0.001",
+                        "n", "2", "y", "trio.ped", "1e-8"], cwd=d,
+                       check=True, stdout=subprocess.DEVNULL)
+    return d
+
+
+def test_caller_parity_denovo(denovo_golden, tmp_path):
+    d = denovo_golden
+    cfg = CallerConfig(pileup_ext="pileup",
+                       sdx_path=os.path.join(d, "g.sdx"),
+                       out_base=str(tmp_path / "ourdn"),
+                       prob_to_call=0.95, theta=0.001, haploid=False,
+                       use_ped=True, ped_path=os.path.join(d, "trio.ped"),
+                       denovo_rate=1e-8, directory=d, nthreads=2)
+    run_caller(cfg)
+    ref = open(os.path.join(d, "refdn.snp")).read()
+    assert "DENOVO_" in ref          # the probe must exercise the path
+    assert open(str(tmp_path / "ourdn.snp")).read() == ref
+    with gzip.open(str(tmp_path / "ourdn.base.gz"), "rb") as f1, \
+            gzip.open(os.path.join(d, "refdn.base.gz"), "rb") as f2:
+        assert f1.read() == f2.read()
