@@ -16,7 +16,7 @@ from ..ops import sw as dsw
 
 
 def _pad_to(x: int, step: int) -> int:
-    return ((x + step - 1) // step + 1) * step if x % step else x + step
+    return ((x + step - 1) // step) * step
 
 
 def _bucket_b(n: int, lo: int = 512) -> int:
@@ -121,12 +121,13 @@ class DeviceMapperEngine(MapperEngine):
         if H == 0:
             return (np.zeros(0), np.zeros(0, np.int32),
                     np.zeros(0, np.int32))
-        N, M = self._bucket(refs.shape[1], reads.shape[1])
+        rl = int(rlens.max()) if len(rlens) else 1
+        N, M = self._bucket(refs.shape[1], rl)
         Hp = _bucket_b(H)
         refs_p = np.zeros((Hp, N), dtype=np.uint8)
         refs_p[:H, :refs.shape[1]] = refs
         reads_p = np.ones((Hp, M), dtype=np.uint8)   # pad != ref pad (0)
-        reads_p[:H, :reads.shape[1]] = reads
+        reads_p[:H, :min(M, reads.shape[1])] = reads[:, :M]
         blens_p = np.zeros(Hp, np.int32)
         blens_p[:H] = blens
         rlens_p = np.full(Hp, 1, np.int32)
@@ -161,13 +162,14 @@ class DeviceMapperEngine(MapperEngine):
         refs = self._gather_refs(starts, blens, width)
         m[winners] = (starts + out_i + 1).astype(np.uint32)
 
-        N, M = self._bucket(width, oriented.shape[1])
+        rl = int(rlens.max()) if len(rlens) else 1
+        N, M = self._bucket(width, rl)
         H = len(winners)
         Hp = _bucket_b(H)
         refs_p = np.zeros((Hp, N), dtype=np.uint8)
         refs_p[:H, :width] = refs
         reads_p = np.ones((Hp, M), dtype=np.uint8)
-        reads_p[:H, :oriented.shape[1]] = oriented
+        reads_p[:H, :min(M, oriented.shape[1])] = oriented[:, :M]
         blens_p = np.zeros(Hp, np.int32); blens_p[:H] = blens
         rlens_p = np.full(Hp, 1, np.int32); rlens_p[:H] = rlens
         kp = np.zeros(Hp, np.int32); kp[:H] = out_k
