@@ -71,9 +71,14 @@ def snp_tran_silent_rep(snp_path: str, annot_path: str, type_filter: str,
     type_filter = type_filter.upper()
     snp_type, rs_type = {}, {}
     with open(annot_path) as f:
-        header = f.readline().rstrip("\n").split("\t")
-        site_code = header.index("annotation_type")
-        snp_id = header.index("snp_id")
+        # Perl quirk: the header line is NOT chomped before matching, so
+        # a wanted column name in the LAST position keeps its newline and
+        # never matches; the undef index then reads field 0
+        # (snp_tran_silent_rep.pl:36-45)
+        header = f.readline().split("\t")
+        site_code = header.index("annotation_type") \
+            if "annotation_type" in header else 0
+        snp_id = header.index("snp_id") if "snp_id" in header else 0
         for line in f:
             fields = line.rstrip("\n").split("\t")
             if len(fields) <= max(site_code, snp_id):
