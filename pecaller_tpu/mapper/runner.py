@@ -16,7 +16,10 @@ import numpy as np
 from ..formats.fastq import FastqBatcher
 from ..formats.index_files import load_index
 from ..formats.sdx import read_sdx, read_seq, find_chrom_mapper
+from ..utils.log import get_logger, stage_timer, event
 from .engine import MapperEngine
+
+_log = get_logger("mapper")
 
 MATE_NAMES_PAIRED = [
     "Unique Mate-Paired", "Unique Mate-Paired with slip", "Unique Single End",
@@ -49,6 +52,9 @@ class MapperConfig:
     trim_start: int = 0
     trim_end: int = 0
     out_names: list = field(default_factory=list)
+    # batch-granular resumability (SURVEY §5.4): snapshot accumulated
+    # pileup + stats after each completed fastq (pair); restart skips them
+    checkpoint: bool = False
 
 
 def _strip_sdx(path: str) -> str:
@@ -73,7 +79,14 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
     tot_pairs = 0
     order_base = 0
     cur_base = cfg.out_base
+    start_iter = 0
+    ckpt_path = cfg.out_base + ".ckpt.npz"
+    if cfg.checkpoint and os.path.exists(ckpt_path):
+        start_iter, tot_pairs, order_base = _load_ckpt(ckpt_path, eng)
+        event(_log, "resume", from_file=start_iter)
     for it in range(len(cfg.files1)):
+        if it < start_iter:
+            continue
         new_name = cfg.out_names[it] if it < len(cfg.out_names) and \
             cfg.out_names[it] else None
         if new_name is not None and new_name != cur_base and it > 0:
@@ -106,9 +119,47 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
             maps2.astype("<u4").tofile(f2 + ".mfile")
         tot_pairs += n_rec
         order_base += n_rec
+        event(_log, "file_done", file=f1, records=n_rec)
+        if cfg.checkpoint:
+            _save_ckpt(ckpt_path, eng, it + 1, tot_pairs, order_base)
 
-    write_outputs(cfg, eng, sdx, genome, tot_pairs, out_base=cur_base)
+    with stage_timer(_log, "write_outputs"):
+        write_outputs(cfg, eng, sdx, genome, tot_pairs, out_base=cur_base)
+    if cfg.checkpoint and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
     return eng
+
+
+def _save_ckpt(path, eng, next_iter, tot_pairs, order_base):
+    import pickle
+    counts = eng.final_pileup()
+    tmp = path + ".tmp"
+    np.savez_compressed(
+        tmp if tmp.endswith(".npz") else tmp, counts=counts,
+        mate_counts=eng.stats.mate_counts,
+        scalars=np.asarray([next_iter, tot_pairs, order_base,
+                            eng.stats.total_reads, eng.stats.total_bases,
+                            eng.stats.total_dist, eng.stats.no_dists],
+                           dtype=np.int64),
+        ins=np.frombuffer(pickle.dumps(eng.ins_records), dtype=np.uint8))
+    os.replace(tmp + (".npz" if not tmp.endswith(".npz") else ""), path)
+
+
+def _load_ckpt(path, eng):
+    import pickle
+    z = np.load(path, allow_pickle=False)
+    sc = z["scalars"]
+    eng.pileup[:] = 0
+    eng.pileup[0] = z["counts"]
+    if hasattr(eng, "dev_counts"):
+        eng.dev_counts = eng._jnp.zeros_like(eng.dev_counts)
+    eng.stats.mate_counts = z["mate_counts"].copy()
+    eng.stats.total_reads = int(sc[3])
+    eng.stats.total_bases = int(sc[4])
+    eng.stats.total_dist = int(sc[5])
+    eng.stats.no_dists = int(sc[6])
+    eng.ins_records = pickle.loads(z["ins"].tobytes())
+    return int(sc[0]), int(sc[1]), int(sc[2])
 
 
 def write_outputs(cfg: MapperConfig, eng: MapperEngine, sdx, genome,

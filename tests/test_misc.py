@@ -165,3 +165,43 @@ def test_restricted_snplist_parity(tmp_path):
     for suf in (".good.bed", ".bad.bed"):
         assert open(wour / ("ourres" + suf)).read() == \
             open(wref / ("refres" + suf)).read()
+
+
+def test_mapper_checkpoint_resume(tmp_path):
+    """Batch-granular resume reproduces the uninterrupted run exactly."""
+    d = golden_dir("map_single")
+    if not os.path.exists(os.path.join(d, "reads.fastq")):
+        pytest.skip("map_single golden missing")
+    from pecaller_tpu.mapper import run_mapper, MapperConfig
+    from pecaller_tpu.mapper import runner as R
+    from pecaller_tpu.mapper.engine import MapperEngine
+    from pecaller_tpu.formats.sdx import read_sdx, read_seq
+    from pecaller_tpu.formats.index_files import load_index
+    from pecaller_tpu.formats.fastq import FastqBatcher
+
+    fa = str(tmp_path / "a.fastq")
+    fb = str(tmp_path / "b.fastq")
+    shutil.copy(os.path.join(d, "reads.fastq"), fa)
+    shutil.copy(os.path.join(d, "reads.fastq"), fb)
+    sdxp = os.path.join(d, "g.sdx")
+    run_mapper(MapperConfig(out_base=str(tmp_path / "full"), sdx_path=sdxp,
+                            paired=False, files1=[fa, fb], min_align=0.9))
+    # simulate an interruption after file 1 by saving its checkpoint
+    sdx = read_sdx(sdxp)
+    genome = read_seq(os.path.join(d, "g.seq"), sdx.genome_size)
+    index = load_index(os.path.join(d, "g"))
+    eng = MapperEngine(sdx, genome, index, min_align=0.9)
+    b = FastqBatcher(fa)
+    for s1, l1, _, _, nos in b.batches():
+        eng.map_batch(s1, l1, read_nos=nos)
+    res_base = str(tmp_path / "res")
+    R._save_ckpt(res_base + ".ckpt.npz", eng, 1, b.total_records,
+                 b.total_records)
+    run_mapper(MapperConfig(out_base=res_base, sdx_path=sdxp, paired=False,
+                            files1=[fa, fb], min_align=0.9,
+                            checkpoint=True))
+    assert _gz(res_base + ".pileup.gz") == \
+        _gz(str(tmp_path / "full.pileup.gz"))
+    assert open(res_base + ".summary.txt").read() == \
+        open(str(tmp_path / "full.summary.txt")).read()
+    assert not os.path.exists(res_base + ".ckpt.npz")
