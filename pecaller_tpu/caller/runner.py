@@ -220,8 +220,15 @@ def run_caller(cfg: CallerConfig):
     out_active = np.zeros((n_sites, indiv), dtype=np.uint8)
 
     if cfg.dump_mode:
-        _write_dump_outputs(cfg, sdx, sample_names, all_pos, which,
-                            contig_pos, refc, data)
+        # dump_pileups uses its own (buggier) find_chrom with
+        # last=n_contigs and no first==last guard; reproduce
+        from ..formats.sdx import find_chrom_dump
+        dwhich = find_chrom_dump(frag_pos, sdx.n_contigs, all_pos)
+        dfrag = [sdx.names[w] if 0 <= w < sdx.n_contigs else ""
+                 for w in dwhich]
+        dpos = 1 + all_pos - fp_prev[np.clip(dwhich, 0, sdx.n_contigs)]
+        _write_dump_outputs(cfg, sdx, sample_names, all_pos, dfrag,
+                            dpos, refc, data)
         _write_dist(cfg, sample_names, tot_bases, counts_hist, mean,
                     base_count, max_cov)
         return dict(n_sites=n_sites, sample_names=sample_names)
@@ -419,8 +426,8 @@ def _write_dist(cfg, sample_names, tot_bases, counts_hist, mean, base_count,
         f.write("\n")
 
 
-def _write_dump_outputs(cfg, sdx, sample_names, all_pos, which, contig_pos,
-                        refc, data):
+def _write_dump_outputs(cfg, sdx, sample_names, all_pos, frag_names,
+                        contig_pos, refc, data):
     """dump_pileups output: every site in .piles.gz; base rows all-N
     (dump_pileups.c:1381-1478, EM loop disabled at :1230)."""
     min_depth_needed = 2
@@ -435,7 +442,7 @@ def _write_dump_outputs(cfg, sdx, sample_names, all_pos, which, contig_pos,
     indiv = len(sample_names)
     tot = data.astype(np.int64).sum(axis=2)     # includes Ins (quirk)
     for s in range(len(all_pos)):
-        frag = sdx.names[which[s]]
+        frag = frag_names[s]
         pos = int(contig_pos[s])
         ref = chr(refc[s])
         row = ["\n%s\t%d\t%c" % (frag, pos, ref)]

@@ -189,3 +189,45 @@ def find_chrom_caller(frag_pos: np.ndarray, n_contigs: int, start_try: int,
         if done.all():
             break
     return result
+
+
+def find_chrom_dump(frag_pos: np.ndarray, n_contigs: int, pos) -> np.ndarray:
+    """Exact emulation of dump_pileups.c:1577-1597 find_chrom, as invoked
+    at :856 with (first=0, last=n_contigs, try=7).
+
+    This variant lacks pecaller's first==last guard; for genomes with
+    <= 7 contigs the `last <= try` branch returns ``n_contigs`` — one past
+    the last contig — so rows get an empty fragment name and a negative
+    position.  Reproduced for dump-mode byte parity.
+    """
+    pos = np.atleast_1d(np.asarray(pos, dtype=np.int64))
+    fp = frag_pos.astype(np.int64)
+    nmax = len(fp) - 1
+    first = np.zeros_like(pos)
+    last = np.full_like(pos, n_contigs)
+    trie = np.full_like(pos, 7)
+    result = np.full_like(pos, -1)
+    done = np.zeros(pos.shape, dtype=bool)
+    for _ in range(80):
+        vfirst = fp[np.clip(first, 0, nmax)]
+        c1 = (first >= trie) & ~done
+        result = np.where(c1, np.where(pos > vfirst, first + 1, first),
+                          result)
+        done |= c1
+        c2 = (last <= trie) & ~done
+        result = np.where(c2, last, result)
+        done |= c2
+        v = fp[np.clip(trie, 0, nmax)]
+        lt = (~done) & (v < pos)
+        gt = (~done) & (v > pos)
+        eqc = (~done) & (v == pos)
+        result = np.where(eqc, trie + 1, result)
+        done |= eqc
+        nfirst = np.where(lt, trie, first)
+        nlast = np.where(gt, trie, last)
+        ntrie = np.where(lt, (last + trie) // 2,
+                         np.where(gt, (trie + first) // 2, trie))
+        first, last, trie = nfirst, nlast, ntrie
+        if done.all():
+            break
+    return result

@@ -78,23 +78,22 @@ def _probe_bit(words, keys):
     return ((w >> (keys & 31).astype(jnp.uint32)) & 1).astype(jnp.bool_)
 
 
-def _rank_lookup(dindex: DeviceSeedIndex, nbi, n_steps: int):
+def _rank_lookup(keys, starts, hi_table, n_keys, nbi, n_steps: int):
     """uint32 keys -> (start, count); absent keys get count 0."""
     hi = (nbi >> (32 - HI_BITS)).astype(jnp.int32)
-    lo = dindex.hi_table[hi]
-    hi_end = dindex.hi_table[hi + 1]
+    lo = hi_table[hi]
+    hi_end = hi_table[hi + 1]
     for _ in range(n_steps):
         cont = lo < hi_end
         mid = (lo + hi_end) >> 1
-        v = dindex.keys[jnp.clip(mid, 0, dindex.n_keys - 1)]
+        v = keys[jnp.clip(mid, 0, n_keys - 1)]
         pred = v < nbi
         lo = jnp.where(cont & pred, mid + 1, lo)
         hi_end = jnp.where(cont & ~pred, mid, hi_end)
-    idx = jnp.clip(lo, 0, max(dindex.n_keys - 1, 0))
-    present = dindex.keys[idx] == nbi
-    start = jnp.where(present, dindex.starts[idx], 0)
-    cnt = jnp.where(present,
-                    dindex.starts[idx + 1] - dindex.starts[idx], 0)
+    idx = jnp.clip(lo, 0, max(n_keys - 1, 0))
+    present = keys[idx] == nbi
+    start = jnp.where(present, starts[idx], 0)
+    cnt = jnp.where(present, starts[idx + 1] - starts[idx], 0)
     return start, cnt
 
 
@@ -127,9 +126,15 @@ def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
     """s_max: static segment-count bucket (8 covers reads <= 127 bp)."""
     n_steps = max(1, int(np.ceil(np.log2(max(dindex.max_subrange, 2)))) + 1)
     S_MAX = s_max
+    n_keys = dindex.n_keys
 
+    # index arrays are jit ARGUMENTS, not closure constants: closed-over
+    # device arrays get inlined into the serialized HLO (0.5 GB bitmap =>
+    # oversized remote-compile requests)
     @jax.jit
-    def seed_chain(seqs, lens, offsets, n_segs, min_match0, skip):
+    def seed_chain_impl(bitmap, abitmap, ikeys, istarts, hi_table,
+                        positions, seqs, lens, offsets, n_segs, min_match0,
+                        skip):
         B, M = seqs.shape
         idxr = lens[:, None] - 1 - jnp.arange(M)[None, :]
         rev = jnp.where(idxr >= 0,
@@ -146,11 +151,12 @@ def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
         keys2 = jnp.stack([kf, kr], axis=1)            # (B, 2, S)
         nb = _neighborhood_dev(keys2)                  # (B, 2, S, 49)
 
-        present = _probe_bit(dindex.bitmap, nb)
-        abundant = _probe_bit(dindex.abitmap, nb)
+        present = _probe_bit(bitmap, nb)
+        abundant = _probe_bit(abitmap, nb)
         seg_valid = (jnp.arange(S_MAX)[None, :] < n_segs[:, None])
         seg_bad = abundant.any(-1) | ~seg_valid[:, None, :]
-        start, cnt = _rank_lookup(dindex, nb, n_steps)
+        start, cnt = _rank_lookup(ikeys, istarts, hi_table, n_keys, nb,
+                                  n_steps)
         cnt = jnp.where(present & ~seg_bad[..., None], cnt, 0)
         seg_tot_true = cnt.sum(-1)                     # (B, 2, S)
 
@@ -161,7 +167,7 @@ def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
         pmax = max(dindex.positions.shape[0] - 1, 0)
         pos = jnp.where(
             gvalid,
-            dindex.positions[jnp.clip(g, 0, pmax)],
+            positions[jnp.clip(g, 0, pmax)],
             POS_PAD)                                   # (B,2,S,49,8) int32
         pos = pos.reshape(*pos.shape[:3], 49 * KEY_CAP)
         pos = jnp.sort(pos, axis=-1)[..., :SEG_CAP]    # (B,2,S,64) sorted
@@ -241,5 +247,11 @@ def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
         fallback = (seg_over.any((1, 2)) | (n_keep > HIT_CAP)) & (skip == 0)
         return (hits, hits_off.astype(jnp.int32), orient.astype(jnp.int8),
                 tot, fallback)
+
+    def seed_chain(seqs, lens, offsets, n_segs, min_match0, skip):
+        return seed_chain_impl(dindex.bitmap, dindex.abitmap, dindex.keys,
+                               dindex.starts, dindex.hi_table,
+                               dindex.positions, seqs, lens, offsets,
+                               n_segs, min_match0, skip)
 
     return seed_chain

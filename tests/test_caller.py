@@ -203,3 +203,24 @@ def test_caller_parity_denovo(denovo_golden, tmp_path):
     with gzip.open(str(tmp_path / "ourdn.base.gz"), "rb") as f1, \
             gzip.open(os.path.join(d, "refdn.base.gz"), "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_dump_pileups_parity(call_golden, tmp_path):
+    d = call_golden
+    if not os.path.exists(os.path.join(d, "refdump.base.gz")):
+        subprocess.run([os.path.join(ref_binaries(), "dump_pileups_O0"),
+                        "pileup", "g.sdx", "5", "refdump", "0.95", "0.001",
+                        "n", "2", "n"], cwd=d, check=True,
+                       stdout=subprocess.DEVNULL)
+    cfg = CallerConfig(pileup_ext="pileup",
+                       sdx_path=os.path.join(d, "g.sdx"),
+                       out_base=str(tmp_path / "ourdump"),
+                       prob_to_call=0.95, theta=0.001, haploid=False,
+                       directory=d, nthreads=2, dump_mode=True)
+    run_caller(cfg)
+    for ext in (".base.gz", ".piles.gz"):
+        with gzip.open(str(tmp_path / "ourdump") + ext, "rb") as f1, \
+                gzip.open(os.path.join(d, "refdump" + ext), "rb") as f2:
+            assert f1.read() == f2.read()
+    assert open(str(tmp_path / "ourdump.dist")).read() == \
+        open(os.path.join(d, "refdump.dist")).read()
