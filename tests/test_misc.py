@@ -205,3 +205,23 @@ def test_mapper_checkpoint_resume(tmp_path):
     assert open(res_base + ".summary.txt").read() == \
         open(str(tmp_path / "full.summary.txt")).read()
     assert not os.path.exists(res_base + ".ckpt.npz")
+
+
+def test_distributed_partitioning():
+    from pecaller_tpu.parallel.distributed import (partition_files,
+                                                   partition_intervals)
+    f1 = [f"a{i}" for i in range(7)]
+    f2 = [f"b{i}" for i in range(7)]
+    seen = set()
+    for pid in range(3):
+        l1, l2 = partition_files(f1, f2, pid, 3)
+        assert len(l1) == len(l2)
+        for a, b in zip(l1, l2):
+            assert a[1:] == b[1:]
+            seen.add(a)
+    assert seen == set(f1)
+    rows = [("chr1", 1, 1000), ("chr1", 2000, 2500), ("chr2", 1, 3000)]
+    allrows = []
+    for pid in range(2):
+        allrows += partition_intervals(rows, pid, 2)
+    assert sorted(allrows) == sorted(rows)
