@@ -1,0 +1,40 @@
+"""Mesh/sharding: the multichip dry run must compile and execute on the
+virtual 8-device CPU mesh, and sharded results must match single-device."""
+
+import numpy as np
+import pytest
+
+
+def test_dryrun_multichip():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_sharded_map_matches_single():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import __graft_entry__ as g
+    from pecaller_tpu.parallel.mesh import make_mesh, sharded_map_step
+    from pecaller_tpu.ops import sw as dsw
+    mesh = make_mesh(4, 2)
+    gs = 2048
+    step = sharded_map_step(mesh, gs)
+    refs, blens, reads, rlens = g._example_batch(B=64, N=64, M=48, seed=3)
+    score, bk, bi, counts = step(refs, blens, reads, rlens)
+    s1, k1, i1 = dsw.sw_align_device(refs, blens, reads, rlens)
+    assert np.array_equal(np.asarray(score), np.asarray(s1))
+    assert np.array_equal(np.asarray(bk), np.asarray(k1))
+    # single-device pileup for comparison
+    ev_pos, ev_kind, ins_j, _ = dsw.sw_traceback_device(
+        refs, blens, reads, rlens, np.asarray(k1), np.asarray(i1))
+    single = dsw.pileup_scatter(
+        np.asarray(ev_pos).reshape(-1), np.asarray(ev_kind).reshape(-1),
+        (np.asarray(ins_j) >= 0).reshape(-1), genome_size=gs)
+    # note: sharded step scatters per-shard windows at the same local
+    # coordinates; with identical inputs the reduced pileup must equal the
+    # single-device scatter
+    assert np.array_equal(np.asarray(counts), np.asarray(single))
