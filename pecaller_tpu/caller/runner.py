@@ -48,6 +48,9 @@ class CallerConfig:
     # a .piles.gz row, calls print as N (p=0 for deep samples, p=1 shallow),
     # no .snp rows
     dump_mode: bool = False
+    # genome positions per streaming window (non-guide path); bounds RAM
+    # at ~window*indiv*12 bytes regardless of genome size
+    window_positions: int = 1 << 23
 
 
 def _chrom_type(name: str) -> int:
@@ -110,6 +113,57 @@ class _Stream:
         self.done = len(self.pos) == 0   # counted against running_files
 
 
+class _ChunkedStream:
+    """Streaming pileup reader: records delivered in position windows so
+    whole-genome cohorts never materialize per-sample arrays in full."""
+
+    _REC = np.dtype([("pos", "<u4"), ("counts", "<u2", (6,))])
+
+    def __init__(self, path, chunk_bytes=1 << 24):
+        import gzip as _gz
+        self._f = _gz.open(path, "rb")
+        self._chunk = chunk_bytes
+        self._buf = np.zeros(0, dtype=self._REC)
+        self._tail = b""
+        self._eof = False
+        self._first = True
+
+    def _read_more(self):
+        raw = self._tail + self._f.read(self._chunk)
+        if len(raw) == len(self._tail):
+            self._eof = True
+            self._tail = b""
+            return
+        usable = len(raw) - (len(raw) % self._REC.itemsize)
+        self._tail = raw[usable:]
+        rec = np.frombuffer(raw[:usable], dtype=self._REC)
+        if self._first and len(rec):
+            # leading zero-position records dropped (pecaller.c:837-850)
+            k = 0
+            while k < len(rec) and rec["pos"][k] == 0:
+                k += 1
+            rec = rec[k:]
+            if len(rec):
+                self._first = False
+        self._buf = np.concatenate([self._buf, rec]) \
+            if len(self._buf) else rec.copy()
+
+    def take_below(self, hi):
+        """All records with pos < hi, consumed from the stream."""
+        while not self._eof and (len(self._buf) == 0 or
+                                 int(self._buf["pos"][-1]) < hi):
+            self._read_more()
+        cut = int(np.searchsorted(self._buf["pos"], hi))
+        out_p = self._buf["pos"][:cut].astype(np.int64)
+        out_c = self._buf["counts"][:cut].copy()
+        self._buf = self._buf[cut:]
+        return out_p, out_c
+
+    @property
+    def exhausted(self):
+        return self._eof and len(self._buf) == 0
+
+
 def run_caller(cfg: CallerConfig):
     sdx = read_sdx(cfg.sdx_path)
     base = cfg.sdx_path[:cfg.sdx_path.rfind(".")] \
@@ -126,7 +180,6 @@ def run_caller(cfg: CallerConfig):
     indiv = len(sample_names)
     if indiv == 0:
         raise RuntimeError("no pileup files found")
-    streams = [_Stream(p) for p in files]
 
     if cfg.use_ped:
         dad, mom, sex = _parse_ped(cfg.ped_path, sample_names)
@@ -138,79 +191,125 @@ def run_caller(cfg: CallerConfig):
     lib, model = load_pecall(indiv, cfg.haploid, cfg.theta, cfg.denovo_rate,
                              cfg.prob_to_call, cfg.use_ped, dad, mom, sex)
 
-    # ---- merge sites ----
+    st = _Accum(indiv)
+    w = _SiteWriters(cfg, sample_names)
+    ctx = dict(cfg=cfg, sdx=sdx, genome=genome, frag_pos=frag_pos,
+               chrom_types=chrom_types, indiv=indiv, lib=lib, model=model)
+
     if cfg.guide_path is None:
-        all_pos = np.unique(np.concatenate(
-            [s.pos for s in streams if len(s.pos)]))
-        n_sites = len(all_pos)
-        data = np.zeros((n_sites, indiv, 6), dtype=np.uint16)
-        present = np.zeros((n_sites, indiv), dtype=bool)
-        for i, s in enumerate(streams):
-            if len(s.pos) == 0:
+        streams = [_ChunkedStream(p) for p in files]
+        window = cfg.window_positions
+        lo = 0
+        while True:
+            hi = lo + window
+            chunks = [s.take_below(hi) for s in streams]
+            if all(len(c[0]) == 0 for c in chunks):
+                if all(s.exhausted for s in streams):
+                    break
+                lo = hi
                 continue
-            idx = np.searchsorted(all_pos, s.pos)
-            data[idx, i] = s.counts
-            present[idx, i] = True
-        site_haploid = np.full(n_sites, 1 if cfg.haploid else 0,
-                               dtype=np.uint8)
-        # in non-guide mode chrY/MT are NOT forced haploid (pecaller quirk:
-        # only the guide path sets per-site haploidy, pecaller.c:968-969)
-        base_count_inc_absent = False
+            all_pos = np.unique(np.concatenate(
+                [c[0] for c in chunks if len(c[0])]))
+            data = np.zeros((len(all_pos), indiv, 6), dtype=np.uint16)
+            present = np.zeros((len(all_pos), indiv), dtype=bool)
+            for i, (p_, c_) in enumerate(chunks):
+                if len(p_) == 0:
+                    continue
+                idx = np.searchsorted(all_pos, p_)
+                data[idx, i] = c_
+                present[idx, i] = True
+            # non-guide quirk: chrY/MT are NOT forced haploid
+            # (only the guide path does, pecaller.c:968-969)
+            hap = np.full(len(all_pos), 1 if cfg.haploid else 0, np.uint8)
+            _process_window(ctx, w, st, all_pos, data, present, hap,
+                            count_absent=False)
+            lo = hi
     else:
-        all_pos, stop_after = _guide_sites(cfg.guide_path, sdx, frag_pos,
-                                           streams)
-        n_sites = len(all_pos)
-        data = np.zeros((n_sites, indiv, 6), dtype=np.uint16)
-        present = np.zeros((n_sites, indiv), dtype=bool)
-        for i, s in enumerate(streams):
-            if len(s.pos) == 0:
+        streams = [_Stream(p) for p in files]
+        all_pos, _ = _guide_sites(cfg.guide_path, sdx, frag_pos, streams)
+        data = np.zeros((len(all_pos), indiv, 6), dtype=np.uint16)
+        present = np.zeros((len(all_pos), indiv), dtype=bool)
+        for i, sstream in enumerate(streams):
+            if len(sstream.pos) == 0:
                 continue
-            idx = np.searchsorted(all_pos, s.pos)
-            ok = (idx < n_sites)
-            ok[ok] = all_pos[idx[ok]] == s.pos[ok]
-            data[idx[ok], i] = s.counts[ok]
+            idx = np.searchsorted(all_pos, sstream.pos)
+            ok = idx < len(all_pos)
+            ok[ok] = all_pos[idx[ok]] == sstream.pos[ok]
+            data[idx[ok], i] = sstream.counts[ok]
             present[idx[ok], i] = True
-        site_haploid = None  # filled below
-        base_count_inc_absent = True
+        which = find_chrom_caller(frag_pos, sdx.n_contigs,
+                                  max((sdx.n_contigs - 1) // 2, 0), all_pos)
+        which = np.clip(which, 0, sdx.n_contigs - 1)
+        ctype0 = chrom_types[which]
+        hap = np.where((ctype0 == CHRY) | (ctype0 == CHRMT), 1,
+                       1 if cfg.haploid else 0).astype(np.uint8)
+        _process_window(ctx, w, st, all_pos, data, present, hap,
+                        count_absent=True)
+
+    w.close()
+    _write_dist(cfg, sample_names, st.tot_bases, st.counts_hist,
+                st.mean_done(), st.base_count, st.max_cov)
+    return dict(n_sites=st.tot_bases, sample_names=sample_names)
+
+
+class _Accum:
+    """Coverage statistics accumulated across windows (.dist inputs)."""
+
+    def __init__(self, indiv):
+        self.tot_bases = 0
+        self.counts_hist = np.zeros((indiv, MAX_DIST), dtype=np.int64)
+        self.mean_sum = np.zeros(indiv)
+        self.base_count = np.zeros(indiv, dtype=np.int64)
+        self.max_cov = np.zeros(indiv, dtype=np.int64)
+
+    def add(self, tot_cov, present, count_absent):
+        n = tot_cov.shape[0]
+        self.tot_bases += n
+        for i in range(self.counts_hist.shape[0]):
+            cov = tot_cov[present[:, i], i]
+            self.mean_sum[i] += cov.sum()
+            if len(cov):
+                self.max_cov[i] = max(self.max_cov[i], cov.max())
+            self.counts_hist[i] += np.bincount(
+                np.minimum(cov, MAX_DIST - 1), minlength=MAX_DIST)
+            self.base_count[i] += n if count_absent \
+                else int(present[:, i].sum())
+
+    def mean_done(self):
+        return np.where(self.base_count > 0,
+                        self.mean_sum / np.maximum(self.base_count, 1),
+                        self.mean_sum)
+
+
+def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
+                    count_absent):
+    cfg, sdx = ctx["cfg"], ctx["sdx"]
+    frag_pos = ctx["frag_pos"]
+    indiv = ctx["indiv"]
+    n_sites = len(all_pos)
+    st.add(data.astype(np.int64).sum(axis=2), present, count_absent)
 
     which = find_chrom_caller(frag_pos, sdx.n_contigs,
                               max((sdx.n_contigs - 1) // 2, 0), all_pos)
     which = np.clip(which, 0, sdx.n_contigs - 1)
-    ctype = chrom_types[which]
-    if cfg.guide_path is not None:
-        site_haploid = np.where((ctype == CHRY) | (ctype == CHRMT), 1,
-                                1 if cfg.haploid else 0).astype(np.uint8)
-
+    ctype = ctx["chrom_types"][which]
     fp_prev = np.concatenate([[0], frag_pos])
     contig_pos = 1 + all_pos - fp_prev[which]
-    refc = genome[np.clip(all_pos, 0, sdx.genome_size - 1)]
-    ref_int = np.array([GEN_TO_INT.get(chr(c), None) for c in refc])
-    weird = np.array([GEN_TO_INT.get(chr(c)) is None for c in refc])
-    if weird.any():
+    refc = ctx["genome"][np.clip(all_pos, 0, sdx.genome_size - 1)]
+    ref_int = np.array([GEN_TO_INT.get(chr(c), -1) for c in refc])
+    if (ref_int < 0).any():
         raise RuntimeError("illegal genome character at a called site")
     ref_int = ref_int.astype(np.int32)
 
-    # ---- stats (.dist) ----
-    tot_cov = data.astype(np.int64).sum(axis=2)
-    tot_bases = n_sites
-    counts_hist = np.zeros((indiv, MAX_DIST), dtype=np.int64)
-    mean = np.zeros(indiv)
-    base_count = np.zeros(indiv, dtype=np.int64)
-    max_cov = np.zeros(indiv, dtype=np.int64)
-    for i in range(indiv):
-        pm = present[:, i]
-        cov = tot_cov[pm, i]
-        mean[i] = cov.sum()
-        if len(cov):
-            max_cov[i] = cov.max()
-        counts_hist[i] = np.bincount(np.minimum(cov, MAX_DIST - 1),
-                                     minlength=MAX_DIST)
-        base_count[i] = pm.sum()
-        if base_count_inc_absent:
-            base_count[i] = n_sites
-    mean = np.where(base_count > 0, mean / np.maximum(base_count, 1), mean)
+    if cfg.dump_mode:
+        from ..formats.sdx import find_chrom_dump
+        dwhich = find_chrom_dump(frag_pos, sdx.n_contigs, all_pos)
+        dfrag = [sdx.names[x] if 0 <= x < sdx.n_contigs else ""
+                 for x in dwhich]
+        dpos = 1 + all_pos - fp_prev[np.clip(dwhich, 0, sdx.n_contigs)]
+        w.write_dump_window(dfrag, dpos, refc, data)
+        return
 
-    # ---- model over callable sites ----
     callable_m = ref_int < 6
     out_calls = np.full((n_sites, indiv), 14, dtype=np.int8)
     out_probs = np.ones((n_sites, indiv), dtype=np.float64)
@@ -218,20 +317,6 @@ def run_caller(cfg: CallerConfig):
     out_denovo = np.zeros(n_sites, dtype=np.int32)
     out_acnt = np.zeros((n_sites, 6), dtype=np.int32)
     out_active = np.zeros((n_sites, indiv), dtype=np.uint8)
-
-    if cfg.dump_mode:
-        # dump_pileups uses its own (buggier) find_chrom with
-        # last=n_contigs and no first==last guard; reproduce
-        from ..formats.sdx import find_chrom_dump
-        dwhich = find_chrom_dump(frag_pos, sdx.n_contigs, all_pos)
-        dfrag = [sdx.names[w] if 0 <= w < sdx.n_contigs else ""
-                 for w in dwhich]
-        dpos = 1 + all_pos - fp_prev[np.clip(dwhich, 0, sdx.n_contigs)]
-        _write_dump_outputs(cfg, sdx, sample_names, all_pos, dfrag,
-                            dpos, refc, data)
-        _write_dist(cfg, sample_names, tot_bases, counts_hist, mean,
-                    base_count, max_cov)
-        return dict(n_sites=n_sites, sample_names=sample_names)
 
     cidx = np.nonzero(callable_m)[0]
     for lo in range(0, len(cidx), cfg.chunk_sites):
@@ -247,13 +332,13 @@ def run_caller(cfg: CallerConfig):
         dn = np.zeros(nb, dtype=np.int32)
         ac = np.zeros((nb, 6), dtype=np.int32)
         act = np.zeros((nb, indiv), dtype=np.uint8)
-        lib.pecall_sites_batch(
-            model, ptr(reads, ctypes.c_uint16), ptr(ri, ctypes.c_uint8),
-            ptr(ch, ctypes.c_uint8), ptr(hp, ctypes.c_uint8), nb,
-            cfg.nthreads, ptr(calls, ctypes.c_int8),
-            ptr(probs, ctypes.c_double), ptr(types, ctypes.c_uint8),
-            ptr(dn, ctypes.c_int32), ptr(ac, ctypes.c_int32),
-            ptr(act, ctypes.c_uint8))
+        ctx["lib"].pecall_sites_batch(
+            ctx["model"], ptr(reads, ctypes.c_uint16),
+            ptr(ri, ctypes.c_uint8), ptr(ch, ctypes.c_uint8),
+            ptr(hp, ctypes.c_uint8), nb, cfg.nthreads,
+            ptr(calls, ctypes.c_int8), ptr(probs, ctypes.c_double),
+            ptr(types, ctypes.c_uint8), ptr(dn, ctypes.c_int32),
+            ptr(ac, ctypes.c_int32), ptr(act, ctypes.c_uint8))
         out_calls[sel] = calls
         out_probs[sel] = probs
         out_types[sel] = types
@@ -261,12 +346,98 @@ def run_caller(cfg: CallerConfig):
         out_acnt[sel] = ac
         out_active[sel] = act
 
-    _write_outputs(cfg, sdx, sample_names, all_pos, which, contig_pos, refc,
-                   callable_m, data, out_calls, out_probs, out_types,
-                   out_denovo, out_acnt, out_active)
-    _write_dist(cfg, sample_names, tot_bases, counts_hist, mean, base_count,
-                max_cov)
-    return dict(n_sites=n_sites, sample_names=sample_names)
+    w.write_calls_window(sdx, which, contig_pos, refc, callable_m, data,
+                         out_calls, out_probs, out_types, out_denovo,
+                         out_acnt, out_active)
+
+
+class _SiteWriters:
+    """Incremental .base.gz/.snp/.piles.gz writers (headers once)."""
+
+    def __init__(self, cfg, sample_names):
+        self.cfg = cfg
+        self.indiv = len(sample_names)
+        self.basef = gzip.open(cfg.out_base + ".base.gz", "wt",
+                               compresslevel=6)
+        self.pilef = gzip.open(cfg.out_base + ".piles.gz", "wt",
+                               compresslevel=6)
+        if cfg.dump_mode:
+            open(cfg.out_base + ".snp", "w").close()
+            self.snpf = None
+        else:
+            self.snpf = open(cfg.out_base + ".snp", "w")
+            self.snpf.write("Fragment\tPosition\tReference\tAlleles"
+                            "\tAllele_Counts\tType")
+        self.basef.write("Fragment\tPosition\tReference")
+        self.pilef.write("Fragment\tPosition\tReference")
+        for nm in sample_names:
+            if self.snpf:
+                self.snpf.write("\t%s\t" % nm)
+            self.basef.write("\t%s\t" % nm)
+            self.pilef.write("\t%s\t\t\t\t\t" % nm)
+
+    def write_calls_window(self, sdx, which, contig_pos, refc, callable_m,
+                           data, calls, probs, types, denovo, acnt, active):
+        g = lambda x: "%g" % x
+        cfg = self.cfg
+        for s in range(len(contig_pos)):
+            if not callable_m[s]:
+                continue
+            frag = sdx.names[which[s]]
+            pos = int(contig_pos[s])
+            ref = chr(refc[s])
+            parts = ["\n%s\t%d\t%c" % (frag, pos, ref)]
+            for i in range(self.indiv):
+                if active[s, i]:
+                    parts.append("\t%c\t%s" % (INT_TO_GEN[calls[s, i]],
+                                               g(probs[s, i])))
+                else:
+                    parts.append("\tN\t1")
+            self.basef.write("".join(parts))
+            t = types[s]
+            if t != 0:
+                a_str = ",".join(ALLELE_CHAR[i] for i in range(6)
+                                 if acnt[s, i] > 0)
+                c_str = ",".join(str(acnt[s, i]) for i in range(6)
+                                 if acnt[s, i] > 0)
+                tname = SNP_TYPE[t]
+                if cfg.use_ped and denovo[s] > 0:
+                    tname = "DENOVO_" + tname
+                row = ["\n%s\t%d\t%c\t%s\t%s\t%s" % (frag, pos, ref,
+                                                     a_str, c_str, tname)]
+                prow = ["\n%s\t%d\t%c" % (frag, pos, ref)]
+                for i in range(self.indiv):
+                    row.append("\t%c\t%s" % (INT_TO_GEN[calls[s, i]],
+                                             g(probs[s, i])))
+                    for j in range(6):
+                        prow.append("\t%d" % data[s, i, j])
+                self.snpf.write("".join(row))
+                self.pilef.write("".join(prow))
+
+    def write_dump_window(self, frag_names, contig_pos, refc, data):
+        min_depth_needed = 2
+        tot = data.astype(np.int64).sum(axis=2)     # includes Ins (quirk)
+        for s in range(len(contig_pos)):
+            frag = frag_names[s]
+            pos = int(contig_pos[s])
+            ref = chr(refc[s])
+            row = ["\n%s\t%d\t%c" % (frag, pos, ref)]
+            prow = ["\n%s\t%d\t%c" % (frag, pos, ref)]
+            for i in range(self.indiv):
+                if tot[s, i] > min_depth_needed and ref != "N":
+                    row.append("\tN\t0")
+                else:
+                    row.append("\tN\t1")
+                for j in range(6):
+                    prow.append("\t%d" % data[s, i, j])
+            self.basef.write("".join(row))
+            self.pilef.write("".join(prow))
+
+    def close(self):
+        self.basef.close()
+        self.pilef.close()
+        if self.snpf:
+            self.snpf.close()
 
 
 def _guide_sites(guide_path, sdx, frag_pos, streams):
@@ -317,62 +488,6 @@ def _guide_sites(guide_path, sdx, frag_pos, streams):
                     done[i] = True
                     running -= 1
     return sites[:n_proc], n_proc
-
-
-def _write_outputs(cfg, sdx, sample_names, all_pos, which, contig_pos, refc,
-                   callable_m, data, calls, probs, types, denovo, acnt,
-                   active):
-    g = lambda x: "%g" % x
-    basef = gzip.open(cfg.out_base + ".base.gz", "wt", compresslevel=6)
-    snpf = open(cfg.out_base + ".snp", "w")
-    pilef = gzip.open(cfg.out_base + ".piles.gz", "wt", compresslevel=6)
-
-    snpf.write("Fragment\tPosition\tReference\tAlleles\tAllele_Counts\tType")
-    basef.write("Fragment\tPosition\tReference")
-    pilef.write("Fragment\tPosition\tReference")
-    for nm in sample_names:
-        snpf.write("\t%s\t" % nm)
-        basef.write("\t%s\t" % nm)
-        pilef.write("\t%s\t\t\t\t\t" % nm)
-
-    indiv = len(sample_names)
-    n_sites = len(all_pos)
-    for s in range(n_sites):
-        if not callable_m[s]:
-            continue
-        frag = sdx.names[which[s]]
-        pos = int(contig_pos[s])
-        ref = chr(refc[s])
-        parts = ["\n%s\t%d\t%c" % (frag, pos, ref)]
-        for i in range(indiv):
-            if active[s, i]:
-                parts.append("\t%c\t%s" % (INT_TO_GEN[calls[s, i]],
-                                           g(probs[s, i])))
-            else:
-                parts.append("\tN\t1")
-        basef.write("".join(parts))
-        t = types[s]
-        if t != 0:
-            a_str = ",".join(ALLELE_CHAR[i] for i in range(6)
-                             if acnt[s, i] > 0)
-            c_str = ",".join(str(acnt[s, i]) for i in range(6)
-                             if acnt[s, i] > 0)
-            tname = SNP_TYPE[t]
-            if cfg.use_ped and denovo[s] > 0:
-                tname = "DENOVO_" + tname
-            row = ["\n%s\t%d\t%c\t%s\t%s\t%s" % (frag, pos, ref, a_str,
-                                                 c_str, tname)]
-            prow = ["\n%s\t%d\t%c" % (frag, pos, ref)]
-            for i in range(indiv):
-                row.append("\t%c\t%s" % (INT_TO_GEN[calls[s, i]],
-                                         g(probs[s, i])))
-                for j in range(6):
-                    prow.append("\t%d" % data[s, i, j])
-            snpf.write("".join(row))
-            pilef.write("".join(prow))
-    basef.close()
-    snpf.close()
-    pilef.close()
 
 
 def _write_dist(cfg, sample_names, tot_bases, counts_hist, mean, base_count,
@@ -426,35 +541,3 @@ def _write_dist(cfg, sample_names, tot_bases, counts_hist, mean, base_count,
         f.write("\n")
 
 
-def _write_dump_outputs(cfg, sdx, sample_names, all_pos, frag_names,
-                        contig_pos, refc, data):
-    """dump_pileups output: every site in .piles.gz; base rows all-N
-    (dump_pileups.c:1381-1478, EM loop disabled at :1230)."""
-    min_depth_needed = 2
-    basef = gzip.open(cfg.out_base + ".base.gz", "wt", compresslevel=6)
-    pilef = gzip.open(cfg.out_base + ".piles.gz", "wt", compresslevel=6)
-    open(cfg.out_base + ".snp", "w").close()
-    basef.write("Fragment\tPosition\tReference")
-    pilef.write("Fragment\tPosition\tReference")
-    for nm in sample_names:
-        basef.write("\t%s\t" % nm)
-        pilef.write("\t%s\t\t\t\t\t" % nm)
-    indiv = len(sample_names)
-    tot = data.astype(np.int64).sum(axis=2)     # includes Ins (quirk)
-    for s in range(len(all_pos)):
-        frag = frag_names[s]
-        pos = int(contig_pos[s])
-        ref = chr(refc[s])
-        row = ["\n%s\t%d\t%c" % (frag, pos, ref)]
-        prow = ["\n%s\t%d\t%c" % (frag, pos, ref)]
-        for i in range(indiv):
-            if tot[s, i] > min_depth_needed and ref != "N":
-                row.append("\tN\t0")
-            else:
-                row.append("\tN\t1")
-            for j in range(6):
-                prow.append("\t%d" % data[s, i, j])
-        basef.write("".join(row))
-        pilef.write("".join(prow))
-    basef.close()
-    pilef.close()

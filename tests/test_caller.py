@@ -224,3 +224,15 @@ def test_dump_pileups_parity(call_golden, tmp_path):
             assert f1.read() == f2.read()
     assert open(str(tmp_path / "ourdump.dist")).read() == \
         open(os.path.join(d, "refdump.dist")).read()
+
+
+def test_windowed_streaming_equivalence(call_golden, tmp_path):
+    """Tiny streaming windows must produce byte-identical artifacts."""
+    d = call_golden
+    cfg = CallerConfig(pileup_ext="pileup",
+                       sdx_path=os.path.join(d, "g.sdx"),
+                       out_base=str(tmp_path / "win"),
+                       prob_to_call=0.95, theta=0.001, haploid=False,
+                       directory=d, nthreads=2, window_positions=1111)
+    run_caller(cfg)
+    _compare(d, str(tmp_path / "win"), "refcall")
