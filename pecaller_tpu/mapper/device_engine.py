@@ -85,11 +85,11 @@ class DeviceMapperEngine(MapperEngine):
             pad(n_segs.astype(np.int32), 1),
             pad(min_match0.astype(np.int32), 1),
             pad(skip, 1))
-        h16 = np.asarray(h16)[:B]
-        o16 = np.asarray(o16)[:B]
-        or16 = np.asarray(or16)[:B]
-        tot16 = np.asarray(tot16)[:B]
-        fb = np.asarray(fb)[:B]
+        h16 = h16[:B]
+        o16 = o16[:B]
+        or16 = or16[:B]
+        tot16 = tot16[:B]
+        fb = fb[:B]
         tot = tot16.copy()
 
         hits = np.zeros((B, MAX_HITS), dtype=np.uint32)
@@ -132,13 +132,12 @@ class DeviceMapperEngine(MapperEngine):
         blens_p[:H] = blens
         rlens_p = np.full(Hp, 1, np.int32)
         rlens_p[:H] = rlens
-        score, bk, bi = dsw.sw_align_device(refs_p, blens_p, reads_p,
-                                            rlens_p,
-                                            bisulfite=self.bisulfite,
-                                            n_rows=N)
-        return (np.asarray(score)[:H].astype(np.float64) / 36.0,
-                np.asarray(bk)[:H].astype(np.int32),
-                np.asarray(bi)[:H].astype(np.int32))
+        packed = np.asarray(dsw.sw_align_device_packed(
+            refs_p, blens_p, reads_p, rlens_p, bisulfite=self.bisulfite,
+            n_rows=N))
+        return (packed[0, :H].astype(np.float64) / 36.0,
+                packed[1, :H].astype(np.int32),
+                packed[2, :H].astype(np.int32))
 
     def _backtrack_end(self, seqs, lens, rev, orient, flat, best, use, end,
                        read_nos):
@@ -175,32 +174,31 @@ class DeviceMapperEngine(MapperEngine):
         kp = np.zeros(Hp, np.int32); kp[:H] = out_k
         ip = np.zeros(Hp, np.int32); ip[:H] = out_i
 
-        ev_pos, ev_kind, ins_j, ins_len = dsw.sw_traceback_device(
-            refs_p, blens_p, reads_p, rlens_p, kp, ip,
-            bisulfite=self.bisulfite, n_rows=N)
-        # absolute positions + scatter on device (padded rows walk zero
-        # steps and contribute nothing)
         starts_p = np.zeros(Hp, np.int64)
         starts_p[:H] = starts
-        pos0 = jnp.asarray(starts_p)[:, None].astype(jnp.int32)
-        ev_pos_abs = jnp.where(ev_pos >= 0, ev_pos + pos0, -1)
-        ins_mask = ins_j >= 0
-        self.dev_counts = self.dev_counts + dsw.pileup_scatter(
-            ev_pos_abs.reshape(-1), ev_kind.reshape(-1),
-            ins_mask.reshape(-1), genome_size=self.sdx.genome_size)
-
-        ins_j_np = np.asarray(ins_j)[:H]
-        ins_len_np = np.asarray(ins_len)[:H]
-        ev_pos_np = np.asarray(ev_pos)[:H]
-        wb, wt = np.nonzero(ins_j_np >= 0)
-        for b, t in zip(wb, wt):
+        # fused traceback + pileup scatter + insertion compaction: the
+        # pileup delta stays on device; only a small (cap+1, 4) insertion
+        # record table is fetched (padded rows walk zero steps)
+        counts, rec = dsw.sw_traceback_scatter(
+            refs_p, blens_p, reads_p, rlens_p, kp, ip,
+            jnp.asarray(starts_p).astype(jnp.int32),
+            bisulfite=self.bisulfite, n_rows=N,
+            genome_size=self.sdx.genome_size)
+        self.dev_counts = self.dev_counts + counts
+        rec = np.asarray(rec)
+        n_ins = int(rec[-1, 0])
+        if n_ins > rec.shape[0] - 1:
+            raise RuntimeError("insertion record cap exceeded; raise "
+                               "ins_cap in sw_traceback_scatter")
+        for b, evp, js, ln in rec[:n_ins]:
+            if b < 0 or b >= H:
+                continue
             w = winners[b]
             rn = int(read_nos[w]) if read_nos is not None else int(w)
-            js, ln = int(ins_j_np[b, t]), int(ins_len_np[b, t])
-            gpos = int(starts[b] + ev_pos_np[b, t])
-            s = oriented[b, js:js + ln].tobytes().decode()
+            gpos = int(starts[b] + evp)
+            sstr = oriented[b, js:js + ln].tobytes().decode()
             self.ins_records.append(((self._order_counter + rn, end),
-                                     gpos, s))
+                                     gpos, sstr))
         return m
 
     def final_pileup(self) -> np.ndarray:

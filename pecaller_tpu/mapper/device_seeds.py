@@ -245,13 +245,21 @@ def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
         tot = valid_h.sum(1).astype(jnp.int32)
         n_keep = keep.sum(1)
         fallback = (seg_over.any((1, 2)) | (n_keep > HIT_CAP)) & (skip == 0)
-        return (hits, hits_off.astype(jnp.int32), orient.astype(jnp.int8),
-                tot, fallback)
+        # pack all outputs into one int32 matrix: a single device->host
+        # fetch per call (each fetch costs ~150 ms through the tunnel)
+        packed = jnp.concatenate(
+            [hits, hits_off.astype(jnp.int32), orient.astype(jnp.int32),
+             tot[:, None], fallback.astype(jnp.int32)[:, None]], axis=1)
+        return packed
 
     def seed_chain(seqs, lens, offsets, n_segs, min_match0, skip):
-        return seed_chain_impl(dindex.bitmap, dindex.abitmap, dindex.keys,
-                               dindex.starts, dindex.hi_table,
-                               dindex.positions, seqs, lens, offsets,
-                               n_segs, min_match0, skip)
+        packed = np.asarray(seed_chain_impl(
+            dindex.bitmap, dindex.abitmap, dindex.keys, dindex.starts,
+            dindex.hi_table, dindex.positions, seqs, lens, offsets,
+            n_segs, min_match0, skip))
+        h = HIT_CAP
+        return (packed[:, :h], packed[:, h:2 * h],
+                packed[:, 2 * h:3 * h].astype(np.int8),
+                packed[:, 3 * h], packed[:, 3 * h + 1].astype(bool))
 
     return seed_chain

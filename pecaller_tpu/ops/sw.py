@@ -244,3 +244,51 @@ def pileup_scatter(ev_pos_abs, ev_kind, ins_mask, genome_size: int):
     ipos = jnp.where(ivalid, ev_pos_abs, 0)
     counts = counts.at[ipos, 5].add(ivalid.astype(jnp.uint16), mode="drop")
     return counts
+
+
+@functools.partial(jax.jit, static_argnames=("bisulfite", "n_rows"))
+def sw_align_device_packed(refs, blens, reads, rlens,
+                           bisulfite: bool = False,
+                           n_rows: int | None = None):
+    """sw_align_device with outputs stacked into one (3, B) int32 array —
+    a single device->host fetch for latency-bound hosts."""
+    s, k, i = sw_align_device(refs, blens, reads, rlens,
+                              bisulfite=bisulfite, n_rows=n_rows)
+    return jnp.stack([s, k, i])
+
+
+@functools.partial(jax.jit, static_argnames=("bisulfite", "n_rows",
+                                             "genome_size", "ins_cap"))
+def sw_traceback_scatter(refs, blens, reads, rlens, bt_k, bt_i, pos0,
+                         bisulfite: bool = False, n_rows: int | None = None,
+                         genome_size: int = 0, ins_cap: int = 2048):
+    """Traceback + pileup scatter + insertion-event compaction, fused so
+    the host fetches only a small (ins_cap+1, 4) int32 record table.
+
+    Returns (counts (genome_size, 6) uint16 — stays on device,
+             ins_packed (ins_cap+1, 4) int32: rows [b, ev_pos, jstart,
+             len]; row ins_cap holds [n_ins_total, 0, 0, 0]).
+    """
+    ev_pos, ev_kind, ins_j, ins_len = sw_traceback_device(
+        refs, blens, reads, rlens, bt_k, bt_i, bisulfite=bisulfite,
+        n_rows=n_rows)
+    ev_pos_abs = jnp.where(ev_pos >= 0, ev_pos + pos0[:, None], -1)
+    counts = pileup_scatter(ev_pos_abs.reshape(-1), ev_kind.reshape(-1),
+                            (ins_j >= 0).reshape(-1),
+                            genome_size=genome_size)
+    B, T = ev_pos.shape
+    valid = (ins_j >= 0).reshape(-1)
+    order = jnp.argsort(~valid, stable=True)[:ins_cap]
+    bb = (order // T).astype(jnp.int32)
+    tt = order % T
+    sel_valid = valid[order]
+    rec = jnp.stack([
+        jnp.where(sel_valid, bb, -1),
+        jnp.where(sel_valid, ev_pos[bb, tt], -1),
+        jnp.where(sel_valid, ins_j[bb, tt].astype(jnp.int32), -1),
+        jnp.where(sel_valid, ins_len[bb, tt].astype(jnp.int32), 0)],
+        axis=1)
+    total = valid.sum().astype(jnp.int32)
+    rec = jnp.concatenate(
+        [rec, jnp.stack([total, 0, 0, 0])[None, :]], axis=0)
+    return counts, rec
