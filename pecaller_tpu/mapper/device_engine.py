@@ -55,11 +55,8 @@ class DeviceMapperEngine(MapperEngine):
                 self._dindex, bisulfite=self.bisulfite, s_max=b)
         return self._seed_fns[b], b
 
-    def _initial_map(self, seqs, lens):
-        if self._seed_fn is None:
-            return super()._initial_map(seqs, lens)
-        from .seeds import segment_offsets, revcomp_batch
-        from .engine import MAX_HITS
+    def _initial_map_dispatch(self, seqs, lens):
+        from .seeds import segment_offsets
         B = seqs.shape[0]
         n_count = (seqs == ord("N")).sum(axis=1)
         skip = (n_count >= 1 + lens // 10).astype(np.int32)
@@ -79,18 +76,23 @@ class DeviceMapperEngine(MapperEngine):
         pad = lambda a, fill=0: np.concatenate(
             [a, np.full((Bp - B,) + a.shape[1:], fill, a.dtype)]) \
             if Bp != B else a
-        h16, o16, or16, tot16, fb = fn(
+        pending = fn.dispatch(
             seqs_p, pad(lens.astype(np.int32), 13),
             pad(offs[:, :b].astype(np.int32)),
             pad(n_segs.astype(np.int32), 1),
             pad(min_match0.astype(np.int32), 1),
             pad(skip, 1))
+        return (fn, pending, seqs, lens, B)
+
+    def _initial_map_resolve(self, handle):
+        from .seeds import revcomp_batch
+        fn, pending, seqs, lens, B = handle
+        h16, o16, or16, tot16, fb = fn.fetch(pending)
         h16 = h16[:B]
         o16 = o16[:B]
         or16 = or16[:B]
-        tot16 = tot16[:B]
+        tot = tot16[:B].copy()
         fb = fb[:B]
-        tot = tot16.copy()
 
         hits = np.zeros((B, MAX_HITS), dtype=np.uint32)
         hits_off = np.zeros((B, MAX_HITS), dtype=np.int32)
@@ -104,13 +106,37 @@ class DeviceMapperEngine(MapperEngine):
         if nfb:
             self.n_fallback += nfb
             sel = np.nonzero(fb)[0]
-            hh, ho, oo, tt, _ = super()._initial_map(
-                np.ascontiguousarray(seqs[sel]), lens[sel])
+            hh, ho, oo, tt, _ = MapperEngine._initial_map(
+                self, np.ascontiguousarray(seqs[sel]), lens[sel])
             hits[sel] = hh
             hits_off[sel] = ho
             orient[sel] = oo
             tot[sel] = tt
         return hits, hits_off, orient, tot, rev
+
+    def map_batch(self, seqs1, lens1, seqs2=None, lens2=None,
+                  read_nos=None):
+        # overlap the two ends' seed kernels: dispatch both before the
+        # first fetch so the device works while the host waits
+        if self.paired and self._seed_fn is not None and seqs2 is not None:
+            lens1 = lens1.astype(np.int64)
+            lens2 = lens2.astype(np.int64)
+            h1 = self._initial_map_dispatch(seqs1, lens1)
+            h2 = self._initial_map_dispatch(seqs2, lens2)
+            self._pending_maps = [self._initial_map_resolve(h1),
+                                  self._initial_map_resolve(h2)]
+        else:
+            self._pending_maps = None
+        return super().map_batch(seqs1, lens1, seqs2, lens2,
+                                 read_nos=read_nos)
+
+    def _initial_map(self, seqs, lens):
+        if getattr(self, "_pending_maps", None):
+            return self._pending_maps.pop(0)
+        if self._seed_fn is None:
+            return MapperEngine._initial_map(self, seqs, lens)
+        return self._initial_map_resolve(self._initial_map_dispatch(
+            seqs, lens))
 
     # pad widths to coarse buckets so jit recompiles stay rare
     def _bucket(self, n, m):

@@ -252,14 +252,23 @@ def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
              tot[:, None], fallback.astype(jnp.int32)[:, None]], axis=1)
         return packed
 
-    def seed_chain(seqs, lens, offsets, n_segs, min_match0, skip):
-        packed = np.asarray(seed_chain_impl(
+    def dispatch(seqs, lens, offsets, n_segs, min_match0, skip):
+        return seed_chain_impl(
             dindex.bitmap, dindex.abitmap, dindex.keys, dindex.starts,
             dindex.hi_table, dindex.positions, seqs, lens, offsets,
-            n_segs, min_match0, skip))
+            n_segs, min_match0, skip)
+
+    def fetch(pending):
+        packed = np.asarray(pending)
         h = HIT_CAP
         return (packed[:, :h], packed[:, h:2 * h],
                 packed[:, 2 * h:3 * h].astype(np.int8),
                 packed[:, 3 * h], packed[:, 3 * h + 1].astype(bool))
 
+    def seed_chain(seqs, lens, offsets, n_segs, min_match0, skip):
+        return fetch(dispatch(seqs, lens, offsets, n_segs, min_match0,
+                              skip))
+
+    seed_chain.dispatch = dispatch
+    seed_chain.fetch = fetch
     return seed_chain
