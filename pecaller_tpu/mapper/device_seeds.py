@@ -155,22 +155,40 @@ def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
         abundant = _probe_bit(abitmap, nb)
         seg_valid = (jnp.arange(S_MAX)[None, :] < n_segs[:, None])
         seg_bad = abundant.any(-1) | ~seg_valid[:, None, :]
-        start, cnt = _rank_lookup(ikeys, istarts, hi_table, n_keys, nb,
-                                  n_steps)
-        cnt = jnp.where(present & ~seg_bad[..., None], cnt, 0)
+
+        # compact the present keys before the rank lookup + position
+        # gather: typically only a few % of the 48 mismatch variants
+        # exist in the genome, so this cuts HBM gather traffic ~6x
+        active = present & ~seg_bad[..., None]         # (B, 2, S, 49)
+        flat_active = active.reshape(-1)
+        nflat = flat_active.shape[0]
+        K = max(nflat // 6, 1024)
+        slot = jnp.cumsum(flat_active.astype(jnp.int32)) - 1
+        n_present = slot[-1] + 1
+        compact_over = n_present > K                   # whole-batch fallback
+        tgt = jnp.where(flat_active, jnp.minimum(slot, K - 1), K)
+        comp_keys = jnp.zeros(K + 1, jnp.uint32).at[tgt].set(
+            nb.reshape(-1), mode="drop")[:K]
+        start_s, cnt_s = _rank_lookup(ikeys, istarts, hi_table, n_keys,
+                                      comp_keys, n_steps)
+        g_s = start_s[:, None] + jnp.arange(KEY_CAP)
+        pmax = max(dindex.positions.shape[0] - 1, 0)
+        gval_s = jnp.arange(KEY_CAP) < jnp.minimum(cnt_s,
+                                                   KEY_CAP)[:, None]
+        pos_s = jnp.where(gval_s, positions[jnp.clip(g_s, 0, pmax)],
+                          POS_PAD)                     # (K, 8)
+        slot_c = jnp.clip(slot, 0, K - 1)
+        cnt = jnp.where(flat_active, cnt_s[slot_c], 0).reshape(active.shape)
         seg_tot_true = cnt.sum(-1)                     # (B, 2, S)
 
         key_over = (cnt > KEY_CAP).any(-1)
-        cntc = jnp.minimum(cnt, KEY_CAP)
-        g = start[..., None] + jnp.arange(KEY_CAP)
-        gvalid = jnp.arange(KEY_CAP) < cntc[..., None]
-        pmax = max(dindex.positions.shape[0] - 1, 0)
-        pos = jnp.where(
-            gvalid,
-            positions[jnp.clip(g, 0, pmax)],
-            POS_PAD)                                   # (B,2,S,49,8) int32
+        pos = jnp.where(flat_active[:, None], pos_s[slot_c], POS_PAD)
+        pos = pos.reshape(*active.shape[:3], 49, KEY_CAP)
         pos = pos.reshape(*pos.shape[:3], 49 * KEY_CAP)
-        pos = jnp.sort(pos, axis=-1)[..., :SEG_CAP]    # (B,2,S,64) sorted
+        # ascending smallest SEG_CAP via top_k on negated values (cheaper
+        # than a full 392-wide sort)
+        neg = jax.lax.top_k(-pos, SEG_CAP)[0]
+        pos = -neg[..., ::-1]                          # (B,2,S,64) sorted
         seg_over = (seg_tot_true > SEG_CAP) | key_over
 
         # --- chaining: support counts per anchor -----------------------
@@ -244,7 +262,8 @@ def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
         valid_h = kk < (2 ** 30)
         tot = valid_h.sum(1).astype(jnp.int32)
         n_keep = keep.sum(1)
-        fallback = (seg_over.any((1, 2)) | (n_keep > HIT_CAP)) & (skip == 0)
+        fallback = (seg_over.any((1, 2)) | (n_keep > HIT_CAP) |
+                    compact_over) & (skip == 0)
         # pack all outputs into one int32 matrix: a single device->host
         # fetch per call (each fetch costs ~150 ms through the tunnel)
         packed = jnp.concatenate(
