@@ -98,14 +98,14 @@ def main():
     from pecaller_tpu.formats.sdx import read_sdx, read_seq
     from pecaller_tpu.formats.index_files import load_index
     from pecaller_tpu.formats.fastq import FastqBatcher
-    from pecaller_tpu.mapper.device_engine import DeviceMapperEngine
+    from pecaller_tpu.mapper.device_pipeline import FusedMapperEngine
 
     sdx = read_sdx(os.path.join(d, "g.sdx"))
     genome = read_seq(os.path.join(d, "g.seq"), sdx.genome_size)
     index = load_index(os.path.join(d, "g"))
-    eng = DeviceMapperEngine(sdx, genome, index, paired=True, min_align=0.9,
-                             min_dist=0, max_dist=500,
-                             nthreads=os.cpu_count() or 2)
+    eng = FusedMapperEngine(sdx, genome, index, paired=True, min_align=0.9,
+                            min_dist=0, max_dist=500,
+                            nthreads=os.cpu_count() or 2)
 
     batches = []
     batcher = FastqBatcher(os.path.join(d, "r1.fastq"),
@@ -113,16 +113,22 @@ def main():
     for b in batcher.batches():
         batches.append(b)
 
-    # warmup (compiles the SW/traceback kernels)
+    # warmup (compiles the fused map step for the steady + tail buckets)
     s1, l1, s2, l2, nos = batches[0]
-    eng.map_batch(s1[:2048], l1[:2048], s2[:2048], l2[:2048],
-                  read_nos=nos[:2048])
+    eng.map_batch(s1, l1, s2, l2, read_nos=nos)
+    st, lt, s2t, l2t, nt = batches[-1]
+    eng.map_batch(st, lt, s2t, l2t, read_nos=nt)
 
     t0 = time.time()
     total = 0
+    pend = []
     for s1, l1, s2, l2, nos in batches:
-        eng.map_batch(s1, l1, s2, l2, read_nos=nos)
+        pend.append(eng.map_batch_async(s1, l1, s2, l2, read_nos=nos))
         total += 2 * len(l1)
+        if len(pend) >= 2:
+            eng.resolve(pend.pop(0))
+    while pend:
+        eng.resolve(pend.pop(0))
     np.asarray(eng.dev_counts)      # sync device work
     elapsed = time.time() - t0
     reads_per_s = total / elapsed

@@ -37,6 +37,10 @@ class DeviceMapperEngine(MapperEngine):
         self._shape_cache = {}
         self.n_fallback = 0
         self._seed_fn = None
+        if self.sdx.genome_size >= 2**30:
+            # device seed structures hold positions as int32; past 2^30
+            # the POS_PAD sentinel ordering breaks — use exact host seeds
+            device_seeds = False
         if device_seeds:
             from .device_seeds import (DeviceSeedIndex, build_seed_chain_fn,
                                        HIT_CAP)

@@ -121,20 +121,16 @@ def _neighborhood_dev(keys):
     return jnp.concatenate(outs, axis=-1)
 
 
-def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
-                        s_max: int = 8):
-    """s_max: static segment-count bucket (8 covers reads <= 127 bp)."""
-    n_steps = max(1, int(np.ceil(np.log2(max(dindex.max_subrange, 2)))) + 1)
-    S_MAX = s_max
-    n_keys = dindex.n_keys
+def seed_chain_core(bitmap, abitmap, ikeys, istarts, hi_table,
+                    positions, seqs, lens, offsets, n_segs, min_match0,
+                    skip, *, bisulfite: bool, s_max: int, n_steps: int,
+                    n_keys: int):
+    """Traceable seed+chain core (inlined by build_seed_chain_fn's jit and
+    by the fused map step in device_pipeline.py).
 
-    # index arrays are jit ARGUMENTS, not closure constants: closed-over
-    # device arrays get inlined into the serialized HLO (0.5 GB bitmap =>
-    # oversized remote-compile requests)
-    @jax.jit
-    def seed_chain_impl(bitmap, abitmap, ikeys, istarts, hi_table,
-                        positions, seqs, lens, offsets, n_segs, min_match0,
-                        skip):
+    Returns (hits, hits_off, orient, tot, fallback, rev)."""
+    S_MAX = s_max
+    if True:
         B, M = seqs.shape
         idxr = lens[:, None] - 1 - jnp.arange(M)[None, :]
         rev = jnp.where(idxr >= 0,
@@ -172,7 +168,7 @@ def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
         start_s, cnt_s = _rank_lookup(ikeys, istarts, hi_table, n_keys,
                                       comp_keys, n_steps)
         g_s = start_s[:, None] + jnp.arange(KEY_CAP)
-        pmax = max(dindex.positions.shape[0] - 1, 0)
+        pmax = max(positions.shape[0] - 1, 0)
         gval_s = jnp.arange(KEY_CAP) < jnp.minimum(cnt_s,
                                                    KEY_CAP)[:, None]
         pos_s = jnp.where(gval_s, positions[jnp.clip(g_s, 0, pmax)],
@@ -264,6 +260,26 @@ def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
         n_keep = keep.sum(1)
         fallback = (seg_over.any((1, 2)) | (n_keep > HIT_CAP) |
                     compact_over) & (skip == 0)
+        return hits, hits_off, orient, tot, fallback, rev
+
+
+def build_seed_chain_fn(dindex: DeviceSeedIndex, bisulfite: bool = False,
+                        s_max: int = 8):
+    """s_max: static segment-count bucket (8 covers reads <= 127 bp)."""
+    n_steps = max(1, int(np.ceil(np.log2(max(dindex.max_subrange, 2)))) + 1)
+    n_keys = dindex.n_keys
+
+    # index arrays are jit ARGUMENTS, not closure constants: closed-over
+    # device arrays get inlined into the serialized HLO (0.5 GB bitmap =>
+    # oversized remote-compile requests)
+    @jax.jit
+    def seed_chain_impl(bitmap, abitmap, ikeys, istarts, hi_table,
+                        positions, seqs, lens, offsets, n_segs, min_match0,
+                        skip):
+        hits, hits_off, orient, tot, fallback, _ = seed_chain_core(
+            bitmap, abitmap, ikeys, istarts, hi_table, positions, seqs,
+            lens, offsets, n_segs, min_match0, skip, bisulfite=bisulfite,
+            s_max=s_max, n_steps=n_steps, n_keys=n_keys)
         # pack all outputs into one int32 matrix: a single device->host
         # fetch per call (each fetch costs ~150 ms through the tunnel)
         packed = jnp.concatenate(

@@ -301,8 +301,7 @@ class MapperEngine:
 
     def _accumulate_stats(self, code, m1, m2, lens1, lens2):
         st = self.stats
-        for c in code:
-            st.mate_counts[c] += 1
+        st.mate_counts += np.bincount(code, minlength=9)[:9]
         has1 = m1 != 0
         has2 = m2 != 0
         st.total_reads += int(has1.sum() + has2.sum())

@@ -69,7 +69,13 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
     genome = read_seq(base + ".seq", sdx.genome_size)
     index = load_index(base)
     if cfg.device:
-        from .device_engine import DeviceMapperEngine as _Eng
+        if sdx.genome_size < 2**30:
+            # fully-fused on-device pipeline (one jit call per batch)
+            from .device_pipeline import FusedMapperEngine as _Eng
+        else:
+            # int32 device coordinates overflow past 2^30 bases: keep
+            # seeds on host, SW/traceback on device
+            from .device_engine import DeviceMapperEngine as _Eng
     else:
         _Eng = MapperEngine
     eng = _Eng(sdx, genome, index, bisulfite=cfg.bisulfite,
@@ -104,11 +110,28 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
                                trim_end=cfg.trim_end)
         eng._order_counter = order_base
         maps1_parts, maps2_parts = [], []
-        for batch in batcher.batches():
-            s1, l1, s2, l2, nos = batch
-            m1, m2, _ = eng.map_batch(s1, l1, s2, l2, read_nos=nos)
-            maps1_parts.append(m1)
-            maps2_parts.append(m2)
+        if hasattr(eng, "map_batch_async"):
+            # keep two batches in flight so the device computes batch k+1
+            # while the host fetches/post-processes batch k
+            pend = []
+            for batch in batcher.batches():
+                s1, l1, s2, l2, nos = batch
+                pend.append(eng.map_batch_async(s1, l1, s2, l2,
+                                                read_nos=nos))
+                if len(pend) >= 2:
+                    m1, m2, _ = eng.resolve(pend.pop(0))
+                    maps1_parts.append(m1)
+                    maps2_parts.append(m2)
+            while pend:
+                m1, m2, _ = eng.resolve(pend.pop(0))
+                maps1_parts.append(m1)
+                maps2_parts.append(m2)
+        else:
+            for batch in batcher.batches():
+                s1, l1, s2, l2, nos = batch
+                m1, m2, _ = eng.map_batch(s1, l1, s2, l2, read_nos=nos)
+                maps1_parts.append(m1)
+                maps2_parts.append(m2)
         n_rec = batcher.total_records
         maps1 = (np.concatenate(maps1_parts) if maps1_parts
                  else np.zeros(0, np.uint32))
