@@ -12,7 +12,8 @@ import pytest
 from pecaller_tpu.caller import run_caller, CallerConfig
 from pecaller_tpu.mapper import run_mapper, MapperConfig
 
-from util import (have_reference, ref_binaries, run_ref_indexer, make_genome,
+from util import (golden_ready,
+                  have_reference, ref_binaries, run_ref_indexer, make_genome,
                   write_fasta, sample_reads, write_fastq, golden_dir, BASES)
 
 pytestmark = pytest.mark.skipif(not have_reference(),
@@ -81,7 +82,7 @@ def _plant_and_map(d, rng, n_samples=3, contig_lens=(30000,),
 @pytest.fixture(scope="module")
 def call_golden():
     d = golden_dir("call_3samp")
-    if not os.path.exists(os.path.join(d, "refcall.snp")):
+    if not golden_ready(os.path.join(d, "refcall.snp")):
         rng = np.random.default_rng(99)
         _plant_and_map(d, rng)
         subprocess.run([os.path.join(ref_binaries(), "pecaller_O0"),
@@ -115,7 +116,7 @@ def test_caller_parity_3samples(call_golden, tmp_path):
 
 def test_caller_parity_haploid(call_golden, tmp_path):
     d = call_golden
-    if not os.path.exists(os.path.join(d, "refhap.snp")):
+    if not golden_ready(os.path.join(d, "refhap.snp")):
         subprocess.run([os.path.join(ref_binaries(), "pecaller_O0"),
                         "pileup", "g.sdx", "5", "refhap", "0.95", "0.001",
                         "y", "2", "n"], cwd=d, check=True,
@@ -132,7 +133,7 @@ def test_caller_parity_haploid(call_golden, tmp_path):
 def test_caller_parity_guide_bed(call_golden, tmp_path):
     d = call_golden
     bed = os.path.join(d, "regions.bed")
-    if not os.path.exists(os.path.join(d, "refbed.snp")):
+    if not golden_ready(os.path.join(d, "refbed.snp")):
         with open(bed, "w") as f:
             f.write("chr1\t2000\t9000\nchr1\t15000\t23000\n")
         subprocess.run([os.path.join(ref_binaries(), "pecaller_O0"),
@@ -154,7 +155,7 @@ def denovo_golden():
     import gzip as _gz
     from pecaller_tpu.formats.pileup import write_pileup
     d = golden_dir("call_denovo")
-    if not os.path.exists(os.path.join(d, "refdn.snp")):
+    if not golden_ready(os.path.join(d, "refdn.snp")):
         rng = np.random.default_rng(5)
         names, seqs = make_genome(rng, [2000])
         write_fasta(os.path.join(d, "genome.fa"), names, seqs)
@@ -207,7 +208,7 @@ def test_caller_parity_denovo(denovo_golden, tmp_path):
 
 def test_dump_pileups_parity(call_golden, tmp_path):
     d = call_golden
-    if not os.path.exists(os.path.join(d, "refdump.base.gz")):
+    if not golden_ready(os.path.join(d, "refdump.base.gz")):
         subprocess.run([os.path.join(ref_binaries(), "dump_pileups_O0"),
                         "pileup", "g.sdx", "5", "refdump", "0.95", "0.001",
                         "n", "2", "n"], cwd=d, check=True,

@@ -12,7 +12,8 @@ import pytest
 from pecaller_tpu.cohort import (run_merger, merge_indel_snp, snp_to_vcf,
                                  make_snplist, snp_tran_counter)
 
-from util import have_reference, ref_binaries, golden_dir
+from util import (have_reference, ref_binaries, golden_dir,
+                  golden_ready)
 
 pytestmark = pytest.mark.skipif(not have_reference(),
                                 reason="reference sources unavailable")
@@ -25,7 +26,7 @@ def tail_golden(request):
     """Depends on the caller golden dir (3-sample run) and extends it with
     the reference cohort-tail outputs."""
     d = golden_dir("call_3samp")
-    if not os.path.exists(os.path.join(d, "refcall.snp")):
+    if not golden_ready(os.path.join(d, "refcall.snp")):
         pytest.skip("caller golden not built yet; run test_caller first")
     bindir = ref_binaries()
     t = golden_dir("cohort_tail")

@@ -11,7 +11,8 @@ from pecaller_tpu.index import build_index
 from pecaller_tpu.formats.sdx import read_sdx
 from pecaller_tpu.formats.index_files import load_index, read_mdx
 
-from util import (have_reference, run_ref_indexer, make_genome, write_fasta,
+from util import (golden_ready,
+                  have_reference, run_ref_indexer, make_genome, write_fasta,
                   gz_bytes, golden_dir)
 
 pytestmark = pytest.mark.skipif(not have_reference(),
@@ -24,7 +25,7 @@ def small_golden():
     our index is built alongside it (also cached)."""
     d = golden_dir("index_small")
     fasta = os.path.join(d, "genome.fa")
-    if not os.path.exists(os.path.join(d, "ref.sdx")):
+    if not golden_ready(os.path.join(d, "ref.sdx")):
         rng = np.random.default_rng(42)
         names, seqs = make_genome(
             rng, [5000, 3000, 2000, 1500, 1200, 1000, 900, 800, 700, 600],

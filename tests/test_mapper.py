@@ -10,7 +10,8 @@ import pytest
 
 from pecaller_tpu.mapper import run_mapper, MapperConfig
 
-from util import (have_reference, ref_binaries, run_ref_indexer, make_genome,
+from util import (golden_ready,
+                  have_reference, ref_binaries, run_ref_indexer, make_genome,
                   write_fasta, sample_reads, write_fastq, golden_dir)
 
 pytestmark = pytest.mark.skipif(not have_reference(),
@@ -25,7 +26,7 @@ def _gz(path):
 @pytest.fixture(scope="module")
 def single_golden():
     d = golden_dir("map_single")
-    if not os.path.exists(os.path.join(d, "ref.summary.txt")):
+    if not golden_ready(os.path.join(d, "ref.summary.txt")):
         rng = np.random.default_rng(123)
         names, seqs = make_genome(rng, [50000])
         write_fasta(os.path.join(d, "genome.fa"), names, seqs)
@@ -43,7 +44,7 @@ def single_golden():
 @pytest.fixture(scope="module")
 def paired_golden():
     d = golden_dir("map_paired")
-    if not os.path.exists(os.path.join(d, "ref.summary.txt")):
+    if not golden_ready(os.path.join(d, "ref.summary.txt")):
         rng = np.random.default_rng(7)
         names, seqs = make_genome(
             rng, [20000, 15000, 12000, 10000, 9000, 8000, 7000, 6000, 5000,

@@ -13,7 +13,8 @@ import pytest
 from pecaller_tpu.cli import main as cli_main
 from pecaller_tpu.cohort import snp_tran_silent_rep, make_snplist_restricted
 
-from util import have_reference, ref_binaries, golden_dir
+from util import (have_reference, ref_binaries, golden_dir,
+                  golden_ready)
 
 pytestmark = pytest.mark.skipif(not have_reference(),
                                 reason="reference sources unavailable")
@@ -29,7 +30,7 @@ def _gz(p):
 @pytest.fixture(scope="module")
 def paired_src():
     d = golden_dir("map_paired")
-    if not os.path.exists(os.path.join(d, "r1.fastq")):
+    if not golden_ready(os.path.join(d, "r1.fastq")):
         pytest.skip("map_paired golden missing; run test_mapper first")
     return d
 
@@ -170,7 +171,7 @@ def test_restricted_snplist_parity(tmp_path):
 def test_mapper_checkpoint_resume(tmp_path):
     """Batch-granular resume reproduces the uninterrupted run exactly."""
     d = golden_dir("map_single")
-    if not os.path.exists(os.path.join(d, "reads.fastq")):
+    if not golden_ready(os.path.join(d, "reads.fastq")):
         pytest.skip("map_single golden missing")
     from pecaller_tpu.mapper import run_mapper, MapperConfig
     from pecaller_tpu.mapper import runner as R

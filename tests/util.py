@@ -158,6 +158,14 @@ def gz_bytes(path: str) -> bytes:
         return f.read()
 
 
+def golden_ready(path: str) -> bool:
+    """Golden artifact present AND non-empty.
+
+    A killed reference run (suite timeout) can leave zero-byte outputs;
+    existence alone then poisons every later run."""
+    return os.path.exists(path) and os.path.getsize(path) > 0
+
+
 def golden_dir(name: str) -> str:
     d = os.path.join(GOLDEN, name)
     os.makedirs(d, exist_ok=True)
