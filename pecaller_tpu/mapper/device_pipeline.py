@@ -38,7 +38,8 @@ from ..ops import sw as dsw
 from .engine import (MapperEngine, MAX_HITS, MISALIGN_SLOP,
                      UNIQUE_MATE, UNIQUE_SLIP, UNIQUE_SINGLE, UNIQUE_MIS,
                      NON_MATE, NON_MIS, NON_NO, NEITHER_MAP)
-from .device_seeds import DeviceSeedIndex, seed_chain_core, HIT_CAP
+from .device_seeds import (DeviceSeedIndex, seed_chain_core, HIT_CAP,
+                           host_bits_rev)
 from .seeds import segment_offsets, revcomp_batch
 
 PAD_SCORE = -36          # -1.0 x36: the reference's dvector padding
@@ -80,6 +81,7 @@ def build_fused_step(dindex: DeviceSeedIndex, *, paired: bool,
 
     n_steps = max(1, int(np.ceil(np.log2(max(dindex.max_subrange, 2)))) + 1)
     n_keys = dindex.n_keys
+    k_cap = dindex.compact_cap(B * 2 * s_max * 49)
     CAP = HIT_CAP
     H_CAP = 2 * B
     SBIG = jnp.int32(2**31 - 1)
@@ -351,12 +353,12 @@ def build_fused_step(dindex: DeviceSeedIndex, *, paired: bool,
             jnp.where(valid_w, ridc, B)].set(m_w, mode="drop")
         return dev_counts, m, rec
 
-    def seed_end(bitmap, abitmap, ikeys, kstarts, hi_table, positions,
-                 seqs, lens, offs, nsegs, mm0, skip):
+    def seed_end(ptab, ikeys, kstarts, hi_table, positions,
+                 bits_f, bits_r, offs, nsegs, mm0, skip):
         return seed_chain_core(
-            bitmap, abitmap, ikeys, kstarts, hi_table, positions,
-            seqs, lens, offs, nsegs, mm0, skip, bisulfite=bisulfite,
-            s_max=s_max, n_steps=n_steps, n_keys=n_keys)
+            ptab, ikeys, kstarts, hi_table, positions, bits_f, bits_r,
+            offs, nsegs, mm0, skip, s_max=s_max, n_steps=n_steps,
+            n_keys=n_keys, k_cap=k_cap)
 
     def hit_overflow(tot):
         """Reads whose hits spill past H_CAP in rid-major compaction."""
@@ -365,16 +367,18 @@ def build_fused_step(dindex: DeviceSeedIndex, *, paired: bool,
 
     if paired:
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(dev_counts, bitmap, abitmap, ikeys, kstarts, hi_table,
+        def step(dev_counts, ptab, ikeys, kstarts, hi_table,
                  positions, genome, ist, st_pad,
-                 seqs1, lens1, offs1, nsegs1, mm01, skip1, thr1,
-                 seqs2, lens2, offs2, nsegs2, mm02, skip2, thr2):
-            h1, ho1, or1, tot1, fb1, rev1 = seed_end(
-                bitmap, abitmap, ikeys, kstarts, hi_table, positions,
-                seqs1, lens1, offs1, nsegs1, mm01, skip1)
-            h2, ho2, or2, tot2, fb2, rev2 = seed_end(
-                bitmap, abitmap, ikeys, kstarts, hi_table, positions,
-                seqs2, lens2, offs2, nsegs2, mm02, skip2)
+                 seqs1, rev1, bits1f, bits1r, lens1, offs1, nsegs1, mm01,
+                 skip1, thr1,
+                 seqs2, rev2, bits2f, bits2r, lens2, offs2, nsegs2, mm02,
+                 skip2, thr2):
+            h1, ho1, or1, tot1, fb1 = seed_end(
+                ptab, ikeys, kstarts, hi_table, positions,
+                bits1f, bits1r, offs1, nsegs1, mm01, skip1)
+            h2, ho2, or2, tot2, fb2 = seed_end(
+                ptab, ikeys, kstarts, hi_table, positions,
+                bits2f, bits2r, offs2, nsegs2, mm02, skip2)
             fb = (fb1 | fb2 | hit_overflow(tot1) | hit_overflow(tot2))
             tot1 = jnp.where(fb, 0, tot1)
             tot2 = jnp.where(fb, 0, tot2)
@@ -397,12 +401,13 @@ def build_fused_step(dindex: DeviceSeedIndex, *, paired: bool,
             return dev_counts, packed, rec1, rec2
     else:
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(dev_counts, bitmap, abitmap, ikeys, kstarts, hi_table,
+        def step(dev_counts, ptab, ikeys, kstarts, hi_table,
                  positions, genome, ist, st_pad,
-                 seqs1, lens1, offs1, nsegs1, mm01, skip1, thr1):
-            h1, ho1, or1, tot1, fb1, rev1 = seed_end(
-                bitmap, abitmap, ikeys, kstarts, hi_table, positions,
-                seqs1, lens1, offs1, nsegs1, mm01, skip1)
+                 seqs1, rev1, bits1f, bits1r, lens1, offs1, nsegs1, mm01,
+                 skip1, thr1):
+            h1, ho1, or1, tot1, fb1 = seed_end(
+                ptab, ikeys, kstarts, hi_table, positions,
+                bits1f, bits1r, offs1, nsegs1, mm01, skip1)
             fb = fb1 | hit_overflow(tot1)
             tot1 = jnp.where(fb, 0, tot1)
             i1 = compact_and_score(genome, st_pad, ist, seqs1, rev1,
@@ -470,6 +475,8 @@ class FusedMapperEngine(MapperEngine):
         seqs_p[:n, :min(M, seqs.shape[1])] = seqs[:, :M]
         lens_p = np.full(Bp, 16, np.int32)
         lens_p[:n] = lens
+        rev, bits_f, bits_r = host_bits_rev(seqs_p, lens_p,
+                                            bisulfite=self.bisulfite)
         n_count = (seqs == ord("N")).sum(axis=1)
         skip = np.ones(Bp, np.int32)
         skip[:n] = (n_count >= 1 + lens // 10).astype(np.int32)
@@ -479,7 +486,8 @@ class FusedMapperEngine(MapperEngine):
         over4 = tc > 4
         mm0[over4] = np.minimum((4 * tc[over4]) // 5, 4)
         thr = exact_score_threshold(lens_p, self.min_align)
-        return (seqs_p, lens_p, offs[:, :s_max].astype(np.int32),
+        return (seqs_p, rev, bits_f, bits_r, lens_p,
+                offs[:, :s_max].astype(np.int32),
                 n_segs.astype(np.int32), mm0.astype(np.int32), skip, thr)
 
     def _seg_bucket(self, s_needed):
@@ -502,7 +510,7 @@ class FusedMapperEngine(MapperEngine):
         s_max = self._seg_bucket(n_segs)
         fn = self._fn_for(B, M, N, s_max)
         a1 = self._prep_end(seqs1, lens1, B, M, s_max)
-        args = (self.dev_counts, self._dindex.bitmap, self._dindex.abitmap,
+        args = (self.dev_counts, self._dindex.ptab,
                 self._dindex.keys, self._dindex.starts,
                 self._dindex.hi_table, self._dindex.positions,
                 self.genome_dev, self._ist_dev, self._st_pad_dev) + a1

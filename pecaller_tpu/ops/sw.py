@@ -77,6 +77,12 @@ def sw_align_device(refs, blens, reads, rlens, bisulfite: bool = False,
     refs: (B, N) uint8 window chars; blens: (B,) int32 valid rows.
     reads: (B, M) uint8; rlens: (B,) int32.
     Returns (score int32 x36, maxk int32, maxi int32).
+
+    The scan iterates over a transposed (N, B) ref so each step consumes
+    a contiguous xs row (no per-row dynamic slices), and the per-row
+    last-read-column extraction is a one-hot masked max (a lane
+    reduction) rather than a per-element gather — gathers are the
+    dominant cost of naive XLA-TPU DP scans.
     """
     B, N = refs.shape
     M = reads.shape[1]
@@ -84,22 +90,24 @@ def sw_align_device(refs, blens, reads, rlens, bisulfite: bool = False,
     n_rows = N if n_rows is None else n_rows
     s0, s1, s2 = _row0(B, W)
     read_chars = reads.astype(jnp.int32)
-    col = rlens.astype(jnp.int32)[:, None]
+    colmask = (jnp.arange(W, dtype=jnp.int32)[None, :] ==
+               rlens.astype(jnp.int32)[:, None])
 
-    best0 = jnp.take_along_axis(s0, col, axis=1)[:, 0]
+    def at_col(x):
+        return jnp.max(jnp.where(colmask, x, NEG), axis=1)
+
+    best0 = at_col(s0)
     carry0 = (s0, s1, s2, best0, jnp.zeros(B, jnp.int32),
               jnp.zeros(B, jnp.int32))
+    refs_t = refs[:, :n_rows].T.astype(jnp.int32)     # (n_rows, B)
 
-    def step(carry, i):
+    def step(carry, xs):
         s0, s1, s2, best, bk, bi = carry
-        rb = refs[:, i - 1].astype(jnp.int32)
+        rb, i = xs
         bump = _bump_row(rb, read_chars, bisulfite)
         c0, c1, c2 = _step_core(s0, s1, s2, bump)
         active = (i <= blens)
-        v0 = jnp.take_along_axis(c0, col, axis=1)[:, 0]
-        v1 = jnp.take_along_axis(c1, col, axis=1)[:, 0]
-        v2 = jnp.take_along_axis(c2, col, axis=1)[:, 0]
-        for k, v in ((0, v0), (1, v1), (2, v2)):
+        for k, v in ((0, at_col(c0)), (1, at_col(c1)), (2, at_col(c2))):
             upd = active & (v > best)
             best = jnp.where(upd, v, best)
             bk = jnp.where(upd, k, bk)
@@ -110,7 +118,8 @@ def sw_align_device(refs, blens, reads, rlens, bisulfite: bool = False,
         return (s0, s1, s2, best, bk, bi), None
 
     (s0, s1, s2, best, bk, bi), _ = jax.lax.scan(
-        step, carry0, jnp.arange(1, n_rows + 1, dtype=jnp.int32))
+        step, carry0,
+        (refs_t, jnp.arange(1, n_rows + 1, dtype=jnp.int32)))
     return best, bk, bi
 
 
@@ -119,8 +128,12 @@ def sw_traceback_device(refs, blens, reads, rlens, bt_k, bt_i,
                         bisulfite: bool = False, n_rows: int | None = None):
     """Recompute DP emitting decision bits, then walk the path on device.
 
-    Per cell, 4 bits: a0 (2b: plane argmax with >-priority at this cell),
-    b1 (S1-ext > S0-open), b2 (S2-ext > S0-open).
+    The walk at state (i, j, k) needs three different cells' bits: a0 of
+    (i-1, j-1), b1 of (i-1, j), b2 of (i, j-1).  During the forward scan
+    we pre-shift those into ONE combined byte stored at (i, j), so each
+    walk step performs a single gather; read-base event kinds are
+    resolved after the walk with one vectorized take_along_axis instead
+    of a per-step gather.  (Gather count dominates walk cost on TPU.)
 
     Returns (ev_pos (B, T) int32 ref-window row of each consuming step or
     -1, ev_kind (B, T) int8, ins_j (B, T) int16 read-slice start for
@@ -133,54 +146,59 @@ def sw_traceback_device(refs, blens, reads, rlens, bt_k, bt_i,
     s0, s1, s2 = _row0(B, W)
     read_chars = reads.astype(jnp.int32)
 
-    def bits_of(c0, c1, c2):
+    def parts_of(c0, c1, c2):
         a0 = jnp.where(c1 > c0, 1, 0).astype(jnp.uint8)
         m = jnp.maximum(c0, c1)
         a0 = jnp.where(c2 > m, 2, a0).astype(jnp.uint8)
         b1 = (c1 - EXT > c0 - OPEN).astype(jnp.uint8)
         b2 = (c2 - EXT > c0 - OPEN).astype(jnp.uint8)
-        return a0 | (b1 << 2) | (b2 << 3)
+        return a0, b1, b2
 
-    def step(carry, i):
+    def shift_r(x):
+        return jnp.concatenate(
+            [jnp.zeros((B, 1), x.dtype), x[:, :-1]], axis=1)
+
+    refs_t = refs[:, :n_rows].T.astype(jnp.int32)
+
+    def step(carry, xs):
         s0, s1, s2 = carry
-        rb = refs[:, i - 1].astype(jnp.int32)
+        rb, i = xs
         bump = _bump_row(rb, read_chars, bisulfite)
         c0, c1, c2 = _step_core(s0, s1, s2, bump)
         active = (i <= blens)[:, None]
-        s0 = jnp.where(active, c0, s0)
-        s1 = jnp.where(active, c1, s1)
-        s2 = jnp.where(active, c2, s2)
-        return (s0, s1, s2), bits_of(s0, s1, s2)
+        n0 = jnp.where(active, c0, s0)
+        n1 = jnp.where(active, c1, s1)
+        n2 = jnp.where(active, c2, s2)
+        a0p, b1p, _ = parts_of(s0, s1, s2)      # cells of row i-1
+        _, _, b2n = parts_of(n0, n1, n2)        # cells of row i
+        comb = shift_r(a0p) | (b1p << 2) | (shift_r(b2n) << 3)
+        return (n0, n1, n2), comb
 
-    row0bits = bits_of(*_row0(B, W))
     (_, _, _), rows = jax.lax.scan(
-        step, (s0, s1, s2), jnp.arange(1, n_rows + 1, dtype=jnp.int32))
-    tb = jnp.concatenate([row0bits[None], rows], axis=0)   # (nn+1, B, W)
-    tb = jnp.transpose(tb, (1, 0, 2))                      # (B, nn+1, W)
+        step, (s0, s1, s2),
+        (refs_t, jnp.arange(1, n_rows + 1, dtype=jnp.int32)))
+    tbc = jnp.concatenate(
+        [jnp.zeros((1, B, W), jnp.uint8), rows], axis=0)   # (nn+1, B, W)
+    tbc = jnp.transpose(tbc, (1, 0, 2))                    # (B, nn+1, W)
 
     T = n_rows + M + 2
-    ev_pos = jnp.full((B, T), -1, jnp.int32)
-    ev_kind = jnp.full((B, T), EV_NONE, jnp.int8)
+    rec_i = jnp.full((B, T), -1, jnp.int16)
+    # rec_dj: >=0 diag step (read col j1), -2 deletion, -1 no event
+    rec_dj = jnp.full((B, T), -1, jnp.int16)
     ins_j = jnp.full((B, T), -1, jnp.int16)
     ins_len = jnp.zeros((B, T), jnp.int16)
-
-    base_map = jnp.full(256, -1, jnp.int8)
-    base_map = base_map.at[ord("A")].set(0).at[ord("C")].set(1) \
-                       .at[ord("G")].set(2).at[ord("T")].set(3)
 
     arange_b = jnp.arange(B)
 
     def walk(t, st):
-        ii, jj, kk, ilen, ev_pos, ev_kind, ins_j, ins_len = st
+        ii, jj, kk, ilen, rec_i, rec_dj, ins_j, ins_len = st
         aliveb = (ii > 0) & (jj > 0)
         i1 = jnp.maximum(ii - 1, 0)
         j1 = jnp.maximum(jj - 1, 0)
-        bits_diag = tb[arange_b, i1, j1]
-        bits_left = tb[arange_b, ii, j1]
-        bits_up = tb[arange_b, i1, jj]
-        a0 = (bits_diag & 3).astype(jnp.int32)
-        b2 = ((bits_left >> 3) & 1).astype(jnp.int32)
-        b1 = ((bits_up >> 2) & 1).astype(jnp.int32)
+        bits = tbc[arange_b, ii, jj]
+        a0 = (bits & 3).astype(jnp.int32)
+        b1 = ((bits >> 2) & 1).astype(jnp.int32)
+        b2 = ((bits >> 3) & 1).astype(jnp.int32)
         # step targets per current plane
         ni = jnp.where(kk == 2, ii, i1)
         nj = jnp.where(kk == 1, jj, j1)
@@ -189,13 +207,11 @@ def sw_traceback_device(refs, blens, reads, rlens, bt_k, bt_i,
                                  jnp.where(b1 == 1, 1, 0)))
         consume_ref = aliveb & (kk != 2)
         diag = aliveb & (kk == 0)
-        rb = reads[arange_b, j1].astype(jnp.int32)
-        kind = jnp.where(diag, base_map[rb].astype(jnp.int32),
-                         jnp.int32(EV_DEL))
-        kind = jnp.where(consume_ref & (kind >= 0), kind, EV_NONE)
-        ev_pos = ev_pos.at[:, t].set(
-            jnp.where(consume_ref, i1, -1))
-        ev_kind = ev_kind.at[:, t].set(kind.astype(jnp.int8))
+        rec_i = rec_i.at[:, t].set(
+            jnp.where(consume_ref, i1, -1).astype(jnp.int16))
+        rec_dj = rec_dj.at[:, t].set(
+            jnp.where(diag, j1,
+                      jnp.where(consume_ref, -2, -1)).astype(jnp.int16))
         # insertion attachment: pending run ends at a consuming step
         attach = consume_ref & (ilen > 0)
         ins_j = ins_j.at[:, t].set(
@@ -207,23 +223,34 @@ def sw_traceback_device(refs, blens, reads, rlens, bt_k, bt_i,
         ii = jnp.where(aliveb, ni, ii)
         jj = jnp.where(aliveb, nj, jj)
         kk = jnp.where(aliveb, nk, kk)
-        return (ii, jj, kk, ilen, ev_pos, ev_kind, ins_j, ins_len)
+        return (ii, jj, kk, ilen, rec_i, rec_dj, ins_j, ins_len)
 
     st = (bt_i.astype(jnp.int32), rlens.astype(jnp.int32),
           bt_k.astype(jnp.int32), jnp.zeros(B, jnp.int32),
-          ev_pos, ev_kind, ins_j, ins_len)
+          rec_i, rec_dj, ins_j, ins_len)
     st = jax.lax.fori_loop(0, T - 1, walk, st)
-    ii, jj, kk, ilen, ev_pos, ev_kind, ins_j, ins_len = st
+    ii, jj, kk, ilen, rec_i, rec_dj, ins_j, ins_len = st
     # final attachment when the walk exits with a pending run and i >= 1
     fin = (ilen > 0) & (ii >= 1)
-    ev_pos = ev_pos.at[:, T - 1].set(jnp.where(fin, ii - 1, -1))
-    ev_kind = ev_kind.at[:, T - 1].set(
-        jnp.where(fin, jnp.int32(EV_NONE), EV_NONE).astype(jnp.int8))
+    rec_i = rec_i.at[:, T - 1].set(
+        jnp.where(fin, ii - 1, -1).astype(jnp.int16))
     ins_j = ins_j.at[:, T - 1].set(
         jnp.where(fin, jj.astype(jnp.int16), -1))
     ins_len = ins_len.at[:, T - 1].set(
         jnp.where(fin, ilen.astype(jnp.int16), 0))
-    return ev_pos, ev_kind, ins_j, ins_len
+
+    # resolve event kinds in one vectorized pass
+    base_map = jnp.full(256, -1, jnp.int8)
+    base_map = base_map.at[ord("A")].set(0).at[ord("C")].set(1) \
+                       .at[ord("G")].set(2).at[ord("T")].set(3)
+    rbj = jnp.take_along_axis(
+        reads, jnp.clip(rec_dj, 0, M - 1).astype(jnp.int32), axis=1)
+    kind = base_map[rbj].astype(jnp.int32)
+    ev_kind = jnp.where(rec_dj >= 0,
+                        jnp.where(kind >= 0, kind, EV_NONE),
+                        jnp.where(rec_dj == -2, EV_DEL, EV_NONE))
+    return (rec_i.astype(jnp.int32), ev_kind.astype(jnp.int8),
+            ins_j, ins_len)
 
 
 @functools.partial(jax.jit, static_argnames=("genome_size",))
