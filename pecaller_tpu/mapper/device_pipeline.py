@@ -29,6 +29,7 @@ byte-parity end to end.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -44,6 +45,25 @@ from .seeds import segment_offsets, revcomp_batch
 
 PAD_SCORE = -36          # -1.0 x36: the reference's dvector padding
 INS_CAP = 2048
+
+
+def _sw_align_fn():
+    """Pick the SW scorer: the Pallas VMEM-resident kernel on TPU, the
+    lax.scan version elsewhere (CPU tests) or when PECALLER_NO_PALLAS=1."""
+    import jax
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("PECALLER_NO_PALLAS")):
+        from ..ops.sw_pallas import sw_align_pallas
+
+        def fn(refs, blens, reads, rlens, bisulfite, n_rows):
+            return sw_align_pallas(refs, blens, reads, rlens,
+                                   bisulfite=bisulfite, n_rows=n_rows)
+        return fn
+
+    def fn(refs, blens, reads, rlens, bisulfite, n_rows):
+        return dsw.sw_align_device(refs, blens, reads, rlens,
+                                   bisulfite=bisulfite, n_rows=n_rows)
+    return fn
 
 
 def _pad_to(x: int, step: int) -> int:
@@ -79,6 +99,7 @@ def build_fused_step(dindex: DeviceSeedIndex, *, paired: bool,
     import jax
     import jax.numpy as jnp
 
+    sw_align = _sw_align_fn()
     n_steps = max(1, int(np.ceil(np.log2(max(dindex.max_subrange, 2)))) + 1)
     n_keys = dindex.n_keys
     k_cap = dindex.compact_cap(B * 2 * s_max * 49)
@@ -167,8 +188,8 @@ def build_fused_step(dindex: DeviceSeedIndex, *, paired: bool,
         reads_s = reads_s[:, :M]
         rlens_m = jnp.where(slot_ok, lens_s, 1).astype(jnp.int32)
 
-        score, bk, bi = dsw.sw_align_device(refs, blen_m, reads_s, rlens_m,
-                                            bisulfite=bisulfite, n_rows=N)
+        score, bk, bi = sw_align(refs, blen_m, reads_s, rlens_m,
+                                 bisulfite, N)
 
         # (B, CAP) lookup table: hit -> slot; sentinel H_CAP for absent
         rid_store = jnp.where(slot_ok, rid_s, B)
