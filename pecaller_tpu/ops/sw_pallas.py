@@ -7,6 +7,13 @@ round-tripping HBM once per `lax.scan` step.  For a (16384, 113)x160
 problem the scan version moves ~5 GB of carry traffic per call; the
 kernel moves each input/output exactly once.
 
+Layout: read position on SUBLANES (axis 0), batch on LANES (axis 1).
+The per-row reference fetch is then a dynamic slice on the sublane
+dimension — `refs_ref[pl.ds(i-1, 1), :]` — which Mosaic supports with
+no alignment constraint, and the (1, B) row broadcasts naturally
+against the (W, B) DP planes.  (A lane-dim dynamic slice would need
+128-aligned indices.)
+
 Reference recurrence: pemapper.c:1694-1748 (three-plane DP, glocal
 termination in the last read column).
 """
@@ -30,52 +37,51 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _shift_right(x, fill):
-    """Lane shift right by one: out[:, 0] = fill, out[:, j] = x[:, j-1]."""
-    W = x.shape[-1]
-    rolled = pltpu.roll(x, shift=1, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane == 0, fill, rolled)
+def _shift_down(x, fill):
+    """Sublane shift by one: out[0, :] = fill, out[j, :] = x[j-1, :]."""
+    rolled = pltpu.roll(x, shift=1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row == 0, fill, rolled)
 
 
-def _cummax_lanes(x):
-    """Inclusive cummax along the lane axis via log-doubling rolls."""
-    W = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+def _cummax_rows(x):
+    """Inclusive cummax along the sublane axis via log-doubling rolls."""
+    H = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     k = 1
-    while k < W:
-        shifted = pltpu.roll(x, shift=k, axis=1)
-        x = jnp.maximum(x, jnp.where(lane >= k, shifted, NEG))
+    while k < H:
+        shifted = pltpu.roll(x, shift=k, axis=0)
+        x = jnp.maximum(x, jnp.where(row >= k, shifted, NEG))
         k *= 2
     return x
 
 
 def _sw_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, out_ref,
                *, n_rows: int, bisulfite: bool):
-    BB, WP = reads_ref.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BB, WP), 1)
+    WP, BB = reads_ref.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (WP, BB), 0)
 
     # row 0 planes (sw.py:_row0)
-    b0 = -(OPEN + (lane - 1) * EXT)
-    s0 = jnp.where(lane == 0, 0, b0)
+    b0 = -(OPEN + (row - 1) * EXT)
+    s0 = jnp.where(row == 0, 0, b0)
     s1 = s0
-    s2 = jnp.where(lane == 0, -OPEN, b0)
+    s2 = jnp.where(row == 0, -OPEN, b0)
 
-    reads = reads_ref[:]                       # (BB, WP) int32 chars
-    blens = blens_ref[:]                       # (BB, 1)
-    rlens = rlens_ref[:]                       # (BB, 1)
-    colmask = lane == rlens                    # rlen <= WP-1
+    reads = reads_ref[:]                       # (WP, BB) int32 chars
+    blens = blens_ref[:]                       # (1, BB)
+    rlens = rlens_ref[:]                       # (1, BB)
+    colmask = row == rlens                     # rlen <= WP-1
 
     def at_col(x):
-        return jnp.max(jnp.where(colmask, x, NEG), axis=1, keepdims=True)
+        return jnp.max(jnp.where(colmask, x, NEG), axis=0, keepdims=True)
 
-    best = at_col(s0)
-    bk = jnp.zeros((BB, 1), jnp.int32)
-    bi = jnp.zeros((BB, 1), jnp.int32)
+    best = at_col(s0)                          # (1, BB)
+    bk = jnp.zeros((1, BB), jnp.int32)
+    bi = jnp.zeros((1, BB), jnp.int32)
 
     def body(i, carry):
         s0, s1, s2, best, bk, bi = carry
-        rb = refs_ref[:, pl.ds(i - 1, 1)]      # (BB, 1) int32
+        rb = refs_ref[pl.ds(i - 1, 1), :]      # (1, BB) int32
         m = (rb == reads) | (rb == ord("N")) | (reads == ord("N")) \
             | (rb == ord("n")) | (reads == ord("n"))
         if bisulfite:
@@ -83,13 +89,13 @@ def _sw_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, out_ref,
                      ((reads == ord("T")) | (reads == ord("t"))))
         bump = jnp.where(m, jnp.int32(MATCH), jnp.int32(MISMATCH))
         prev3 = jnp.maximum(jnp.maximum(s0, s1), s2)
-        c0 = _shift_right(prev3 + bump, jnp.int32(0))
-        c1 = jnp.where(lane == 0, 0,
+        c0 = _shift_down(prev3 + bump, jnp.int32(0))
+        c1 = jnp.where(row == 0, 0,
                        jnp.maximum(s0 - OPEN, s1 - EXT))
-        a = jnp.where(lane == 0, jnp.int32(-OPEN),
-                      _shift_right(c0, jnp.int32(0)) - OPEN + lane)
-        c2 = _cummax_lanes(a) - lane
-        active = i <= blens                    # (BB, 1)
+        a = jnp.where(row == 0, jnp.int32(-OPEN),
+                      _shift_down(c0, jnp.int32(0)) - OPEN + row)
+        c2 = _cummax_rows(a) - row
+        active = i <= blens                    # (1, BB)
         for k, v in ((0, at_col(c0)), (1, at_col(c1)), (2, at_col(c2))):
             upd = active & (v > best)
             best = jnp.where(upd, v, best)
@@ -102,9 +108,9 @@ def _sw_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, out_ref,
 
     s0, s1, s2, best, bk, bi = jax.lax.fori_loop(
         1, n_rows + 1, body, (s0, s1, s2, best, bk, bi))
-    out_ref[0, :] = best[:, 0]
-    out_ref[1, :] = bk[:, 0]
-    out_ref[2, :] = bi[:, 0]
+    out_ref[0, :] = best[0, :]
+    out_ref[1, :] = bk[0, :]
+    out_ref[2, :] = bi[0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("bisulfite", "n_rows",
@@ -129,14 +135,14 @@ def sw_align_pallas(refs, blens, reads, rlens, bisulfite: bool = False,
         blens = jnp.pad(blens, (0, pad))
         rlens = jnp.pad(rlens, (0, pad), constant_values=1)
     BP = refs.shape[0]
-    WP = _round_up(M + 1, 128)
-    NP = _round_up(n_rows, 128)
-    refs_i = jnp.zeros((BP, NP), jnp.int32).at[:, :N].set(
-        refs.astype(jnp.int32))
-    reads_i = jnp.zeros((BP, WP), jnp.int32).at[:, :M].set(
-        reads.astype(jnp.int32))
-    blens_i = blens.astype(jnp.int32).reshape(BP, 1)
-    rlens_i = rlens.astype(jnp.int32).reshape(BP, 1)
+    WP = _round_up(M + 1, 8)
+    NP = _round_up(n_rows, 8)
+    refs_i = jnp.zeros((NP, BP), jnp.int32).at[:N, :].set(
+        refs.astype(jnp.int32).T)
+    reads_i = jnp.zeros((WP, BP), jnp.int32).at[:M, :].set(
+        reads.astype(jnp.int32).T)
+    blens_i = blens.astype(jnp.int32).reshape(1, BP)
+    rlens_i = rlens.astype(jnp.int32).reshape(1, BP)
 
     grid = (BP // block_b,)
     out = pl.pallas_call(
@@ -144,13 +150,13 @@ def sw_align_pallas(refs, blens, reads, rlens, bisulfite: bool = False,
         out_shape=jax.ShapeDtypeStruct((3, BP), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, NP), lambda b: (b, 0),
+            pl.BlockSpec((NP, block_b), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, WP), lambda b: (b, 0),
+            pl.BlockSpec((WP, block_b), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 1), lambda b: (b, 0),
+            pl.BlockSpec((1, block_b), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 1), lambda b: (b, 0),
+            pl.BlockSpec((1, block_b), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, block_b), lambda b: (0, b),
