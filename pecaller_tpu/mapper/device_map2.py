@@ -1,0 +1,874 @@
+"""Second-generation fused on-device mapping step.
+
+One jit per batch, like device_pipeline.py, but re-engineered around the
+measured TPU cost model (profile_prims*.py):
+
+  * XLA scatter costs ~4 ms fixed + ~15-45 ns/element; gathers ~8 ns/el;
+    argsort-32k ~5 ms; top_k-392 ~21 ms.  Round 1 spent ~85% of its
+    batch time in scatters/sorts/top_k and byte-wise gathers.
+
+Changes:
+  1. Seed probing uses the 1-mismatch-closed inverted index
+     (index/nbr.py): ONE rank lookup + one contiguous position gather
+     per (read, orientation, segment) replaces 49 presence probes, the
+     per-variant-key position gathers, and the 392-wide top_k merge.
+     Per-segment lists arrive pre-merged ascending.
+  2. All compactions are scatter-free: inclusive-cumsum gives each
+     element its slot; a vectorized binary search over the cumsum gives
+     each slot its element (searchsorted as unrolled gathers).
+  3. Diagonal dedup is per-read pairwise (the anchor space is only
+     2*S*SEG_CAP wide) instead of four global argsorts.
+  4. Genome and reads travel as 2-bit-packed uint32 words with separate
+     N/exotic masks; windows are gathered word-wise (11 gathers per
+     slot instead of 160) and unpacked/aligned with vector ops.  Bases
+     outside {A,C,G,T,N} can't be represented (the reference compares
+     raw bytes, pemapper.c:2006-2048), so reads containing exotic chars
+     — and reads whose candidate window touches an exotic genome char —
+     fall back to the exact host engine.
+  5. Both mate ends ride ONE device program as 2B "units" (end-major),
+     sharing the SW kernel call, compactions, and the single flat-u32
+     pileup scatter.
+  6. Traceback is row-synchronous (ops/sw2.py): n_rows iterations total,
+     emitting row-indexed events — no 273-step scalar walk.
+
+Decision layer (decide_single/decide_pair) is carried over verbatim
+from device_pipeline.py (pemapper.c:1313-1536 and :1084-1174 as exact
+integer arithmetic).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+from ..formats.index_files import SeedIndex
+from ..index.nbr import NbrIndex
+from ..ops import sw2
+from ..ops.encode import BASE_BITS, _RC, IDEPTH
+from .engine import (MapperEngine, MISALIGN_SLOP,
+                     UNIQUE_MATE, UNIQUE_SLIP, UNIQUE_SINGLE, UNIQUE_MIS,
+                     NON_MATE, NON_MIS, NON_NO, NEITHER_MAP)
+from .seeds import segment_offsets, revcomp_batch
+from .device_pipeline import exact_score_threshold, _pad_to, _bucket_b
+
+PAD_SCORE = -36
+POS_PAD = np.int32(2 ** 30)
+HIT_CAP = 16
+INS_CAP = 2048
+NBR_HI_BITS_DEV = 26
+
+
+# --------------------------------------------------------------------------
+# host-side packing helpers
+
+_CODE_TAB = np.zeros(256, dtype=np.uint8)        # char -> xcode
+for _c, _v in ((b"A", 0), (b"C", 1), (b"G", 2), (b"T", 3)):
+    _CODE_TAB[_c[0]] = _v
+_CODE_TAB[ord("N")] = sw2.XN
+_EXOTIC = np.ones(256, dtype=bool)
+for _c in b"ACGTN":
+    _EXOTIC[_c] = False
+
+
+def pack2(codes: np.ndarray) -> np.ndarray:
+    """(B, M) uint8 2-bit codes -> (B, ceil(M/16)) uint32, LSB-first."""
+    B, M = codes.shape
+    PW = (M + 15) // 16
+    padded = np.zeros((B, PW * 16), dtype=np.uint32)
+    padded[:, :M] = codes & 3
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+    return (padded.reshape(B, PW, 16) << shifts).sum(
+        axis=2, dtype=np.uint32)
+
+
+def pack_mask(mask: np.ndarray) -> np.ndarray:
+    """(B, M) bool -> (B, ceil(M/32)) uint32 bitmask, LSB-first."""
+    B, M = mask.shape
+    PW = (M + 31) // 32
+    padded = np.zeros((B, PW * 32), dtype=np.uint32)
+    padded[:, :M] = mask
+    shifts = np.arange(32, dtype=np.uint32)[None, None, :]
+    return (padded.reshape(B, PW, 32) << shifts).sum(
+        axis=2, dtype=np.uint32)
+
+
+def pack_genome(genome: np.ndarray):
+    """ASCII genome -> (code words, N|exotic 2-bit mask words), both
+    uint32 and padded with 16 guard words."""
+    codes = _CODE_TAB[genome]
+    n = (codes == sw2.XN) | (genome == ord("n"))
+    exotic = _EXOTIC[genome] & ~(genome == ord("n"))
+    gs = len(genome)
+    PW = (gs + 15) // 16 + 16
+    cw = np.zeros(PW, dtype=np.uint32)
+    mw = np.zeros(PW, dtype=np.uint32)
+    idx = np.arange(gs)
+    np.bitwise_or.at(cw, idx >> 4,
+                     (codes & 3).astype(np.uint32) << ((idx & 15) * 2))
+    np.bitwise_or.at(mw, idx >> 4,
+                     (n.astype(np.uint32)
+                      | (exotic.astype(np.uint32) << 1)) << ((idx & 15) * 2))
+    return cw, mw
+
+
+class NbrDeviceIndex:
+    """Device-resident arrays for an NbrIndex (rank tables + positions)."""
+
+    def __init__(self, nbr: NbrIndex):
+        import jax.numpy as jnp
+        nk = np.asarray(nbr.nkeys, dtype=np.uint32)
+        val = np.asarray(nbr.val, dtype=np.uint64)
+        self.n_keys = len(nk)
+        hi = (nk >> np.uint32(32 - NBR_HI_BITS_DEV)).astype(np.int64)
+        hc = np.bincount(hi, minlength=1 << NBR_HI_BITS_DEV)
+        ht = np.zeros((1 << NBR_HI_BITS_DEV) + 1, dtype=np.int64)
+        np.cumsum(hc, out=ht[1:])
+        self.max_subrange = int(hc.max()) if len(nk) else 1
+        self.n_steps = max(1, int(np.ceil(np.log2(
+            max(self.max_subrange, 2)))) + 1)
+        self.nkeys = jnp.asarray(nk)
+        self.hi_table = jnp.asarray(ht.astype(np.int32))
+        # split u64 val into u32 halves (jax x64 stays off)
+        self.val_start = jnp.asarray(
+            (val & np.uint64((1 << 34) - 1)).astype(np.uint32))
+        self.val_meta = jnp.asarray(
+            (val >> np.uint64(40)).astype(np.uint32))   # cnt8 | abund<<8
+        self.positions = jnp.asarray(
+            np.asarray(nbr.positions, dtype=np.uint32).astype(np.int32))
+
+
+# --------------------------------------------------------------------------
+# fused step builder
+
+def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
+                      bisulfite: bool, min_dist: int, max_dist: int,
+                      n_contigs: int, genome_size: int,
+                      B: int, M: int, N: int, s_max: int,
+                      seg_cap: int = 16, ins_cap: int = INS_CAP,
+                      h_factor: int = 2):
+    import jax
+    import jax.numpy as jnp
+
+    U = 2 * B if paired else B              # end-major read units
+    S = s_max
+    CAP = HIT_CAP
+    F = 2 * S * seg_cap                      # per-unit anchor space
+    H_CAP = h_factor * U
+    PW = (M + 15) // 16                      # packed read words
+    NW = N // 16 + 2                         # packed window words
+    n_steps = dnbr.n_steps
+    n_keys = dnbr.n_keys
+    chrom_steps = max(3, int(np.ceil(np.log2(max(n_contigs, 2)))) + 3)
+    SBIG = jnp.int32(2**31 - 1)
+    NEGBIG = jnp.int32(-(1 << 30))
+    L = max(M - IDEPTH + 1, 1)
+
+    sw_align, sw_traceback = _sw_fns(N)
+
+    # ---- helpers ---------------------------------------------------------
+
+    def unpack_codes(words, n_out):
+        """(..., W) uint32 -> (..., n_out) uint8 2-bit fields."""
+        sh = (jnp.arange(16, dtype=jnp.uint32) * 2)
+        b = (words[..., :, None] >> sh) & 3
+        return b.reshape(*words.shape[:-1],
+                         words.shape[-1] * 16)[..., :n_out].astype(jnp.uint8)
+
+    def unpack_mask(words, n_out):
+        sh = jnp.arange(32, dtype=jnp.uint32)
+        b = (words[..., :, None] >> sh) & 1
+        return (b.reshape(*words.shape[:-1], words.shape[-1] * 32)
+                [..., :n_out]).astype(jnp.bool_)
+
+    def vsearch_ge(csum, targets, steps):
+        """Smallest idx with csum[idx] >= target (csum ascending,
+        int32); targets beyond csum[-1] return len(csum)."""
+        n = csum.shape[0]
+        lo = jnp.zeros(targets.shape, jnp.int32)
+        hi = jnp.full(targets.shape, n, jnp.int32)
+        for _ in range(steps):
+            mid = (lo + hi) >> 1
+            v = csum[jnp.clip(mid, 0, n - 1)]
+            pred = v < targets
+            lo = jnp.where(pred, mid + 1, lo)
+            hi = jnp.where(~pred, mid, hi)
+        return lo
+
+    def find_chrom(st_pad, pos):
+        """Exact port of the reference probe-at-7 contig search
+        (pemapper.c:2168-2186), log-bounded."""
+        ns = st_pad.shape[0]
+        first = jnp.zeros_like(pos)
+        last = jnp.full_like(pos, n_contigs - 1)
+        trie = jnp.full_like(pos, 7)
+        result = jnp.full_like(pos, -1)
+        done = jnp.zeros(pos.shape, bool)
+        for _ in range(chrom_steps):
+            eq = (first == last) & ~done
+            result = jnp.where(eq, first, result)
+            done = done | eq
+            ci = jnp.clip(trie, 0, ns - 2)
+            ok_t = (trie >= 0) & (trie <= ns - 2)
+            v_try = jnp.where(ok_t, st_pad[ci], SBIG)
+            v_try1 = jnp.where((trie >= -1) & (trie <= ns - 2),
+                               st_pad[ci + 1], SBIG)
+            hit = (~done) & (v_try <= pos) & (v_try1 >= pos)
+            result = jnp.where(hit, trie, result)
+            done = done | hit
+            go_low = (~done) & (v_try > pos)
+            go_high = (~done) & ~go_low
+            last = jnp.where(go_low, trie - 1, last)
+            first = jnp.where(go_high, trie + 1, first)
+            trie = jnp.where(~done, (last + first) // 2, trie)
+        return result
+
+    def windows(st_pad, ist, spots, lens_u):
+        """Candidate locus -> clamped seq-coordinate window
+        (engine._windows, pemapper.c:1047-1081)."""
+        chrom = jnp.clip(find_chrom(st_pad, spots), 0, n_contigs - 1)
+        extra = 15 * chrom
+        start = jnp.maximum(ist[chrom] + extra,
+                            jnp.maximum(0, extra + spots - MISALIGN_SLOP))
+        end = jnp.minimum(ist[chrom + 1] + extra,
+                          extra + spots + lens_u + MISALIGN_SLOP)
+        blen = 1 + end - start
+        return start, blen
+
+    def fetch_windows(gcode, gmask, start, blen):
+        """Packed window fetch: word gathers + unpack + shift align.
+        Returns (xcodes (n, N) uint8 with N-wildcards applied, exotic
+        (n,) bool)."""
+        w0 = (start >> 4).astype(jnp.int32)
+        widx = w0[:, None] + jnp.arange(NW, dtype=jnp.int32)[None, :]
+        gmax = gcode.shape[0] - 1
+        cw = gcode[jnp.clip(widx, 0, gmax)]
+        mw = gmask[jnp.clip(widx, 0, gmax)]
+        ext = NW * 16
+        codes = unpack_codes(cw, ext)
+        m2 = (mw[..., :, None] >>
+              (jnp.arange(16, dtype=jnp.uint32) * 2)) & 3
+        m2 = m2.reshape(m2.shape[0], ext)
+        sh = (start & 15).astype(jnp.int32)
+        # compose the per-slot shift out of static slices
+        width = ext
+        for bit in (8, 4, 2, 1):
+            nw_ = width - bit
+            codes = jnp.where((sh[:, None] & bit) != 0,
+                              codes[:, bit:bit + nw_], codes[:, :nw_])
+            m2 = jnp.where((sh[:, None] & bit) != 0,
+                           m2[:, bit:bit + nw_], m2[:, :nw_])
+            width = nw_
+        codes = codes[:, :N]
+        m2 = m2[:, :N]
+        inwin = jnp.arange(N)[None, :] < blen[:, None]
+        xc = jnp.where((m2 & 1) == 1, jnp.uint8(sw2.XN), codes)
+        xc = jnp.where(inwin, xc, jnp.uint8(0))
+        exotic = (((m2 & 2) != 0) & inwin).any(axis=1)
+        return xc, exotic
+
+    def rolling_keys(kcodes, offsets):
+        key_all = jnp.zeros(kcodes.shape[:-1] + (L,), jnp.uint32)
+        for j in range(IDEPTH):
+            key_all = (key_all << 2) + kcodes[..., j:j + L].astype(
+                jnp.uint32)
+        return jnp.take_along_axis(key_all,
+                                   jnp.clip(offsets, 0, L - 1), axis=-1)
+
+    # ---- seed + chain ----------------------------------------------------
+
+    def seed_nbr(nkeys, val_start, val_meta, hi_table, positions,
+                 xcode_f, xcode_r, offsets, n_segs, min_match0, skip):
+        """(U, ...) unit-major seed probing + chaining.  Semantics match
+        device_seeds.seed_chain_core (itself pemapper.c:1539-1690 /
+        :2188-2289) with the 49-key expansion replaced by the inverted
+        index."""
+        # keys on converted codes (convert_ct, pemapper.c:2292-2300)
+        if bisulfite:
+            conv = lambda x: jnp.where(x == 1, jnp.uint8(3), x & 3)  # noqa
+        else:
+            conv = lambda x: x & 3                                   # noqa
+        kf = rolling_keys(conv(xcode_f), offsets)
+        kr = rolling_keys(conv(xcode_r), offsets)
+        keys2 = jnp.stack([kf, kr], axis=1)            # (U, 2, S)
+
+        # rank lookup
+        hi = (keys2 >> (32 - NBR_HI_BITS_DEV)).astype(jnp.int32)
+        lo = hi_table[hi]
+        hi_end = hi_table[hi + 1]
+        for _ in range(n_steps):
+            cont = lo < hi_end
+            mid = (lo + hi_end) >> 1
+            v = nkeys[jnp.clip(mid, 0, max(n_keys - 1, 0))]
+            pred = v < keys2
+            lo = jnp.where(cont & pred, mid + 1, lo)
+            hi_end = jnp.where(cont & ~pred, mid, hi_end)
+        idx = jnp.clip(lo, 0, max(n_keys - 1, 0))
+        present = (nkeys[idx] == keys2) & (n_keys > 0)
+        start = jnp.where(present, val_start[idx], 0).astype(jnp.int32)
+        meta = jnp.where(present, val_meta[idx], 0)
+        cnt_sat = (meta & 255).astype(jnp.int32)       # saturates at 255
+        abund = (meta >> 8) & 1
+
+        seg_valid = (jnp.arange(S)[None, :] < n_segs[:, None])
+        seg_bad = (abund == 1) | ~seg_valid[:, None, :]
+        seg_tot = jnp.where(seg_bad, 0, cnt_sat)       # (U, 2, S)
+        seg_over = (seg_tot > seg_cap) & ~seg_bad
+
+        # contiguous position gather (lists pre-merged ascending)
+        take = jnp.minimum(seg_tot, seg_cap)
+        g = start[..., None] + jnp.arange(seg_cap, dtype=jnp.int32)
+        pmax = max(positions.shape[0] - 1, 0)
+        gval = jnp.arange(seg_cap) < take[..., None]
+        pos = jnp.where(gval, positions[jnp.clip(g, 0, pmax)], POS_PAD)
+
+        # --- chaining (exact port of seed_chain_core) -------------------
+        max_off = max(2, IDEPTH - 4)
+        diag = pos - offsets[:, None, :, None]
+        anchor_valid = pos < POS_PAD
+        T = jnp.ones(pos.shape, jnp.int32)
+        seg_in_read = (jnp.arange(S)[None, :] <= (n_segs - 1)[:, None])
+        for dd in range(1, S):
+            a = diag[:, :, :S - dd, :]
+            bseg = diag[:, :, dd:, :]
+            near = jnp.abs(a[..., :, None] - bseg[..., None, :]) < max_off
+            near = near & anchor_valid[:, :, dd:][..., None, :]
+            found = near.any(-1) & seg_in_read[:, None, dd:, None]
+            T = T.at[:, :, :S - dd, :].add(found.astype(jnp.int32))
+        T = jnp.where(anchor_valid, T, 0)
+
+        # min_match ratchet (pemapper.c:2251-2254 + min_spots wipe)
+        max_depth = (n_segs - 1).astype(jnp.int32)
+        min_spots = jnp.where(seg_valid[:, None, :], seg_tot,
+                              jnp.int32(1 << 30)).min(-1)     # (U, 2)
+        wipe = min_spots > 200
+        Tmax = T.max(-1)
+        cur = min_match0.astype(jnp.int32)
+        processed = jnp.zeros(pos.shape[:3], jnp.bool_)
+        for o in range(2):
+            o_ok = ~wipe[:, o] & (skip == 0)
+            for li in range(S):
+                active = o_ok & (li <= 1 + max_depth - cur)
+                processed = processed.at[:, o, li].set(active)
+                cur = jnp.maximum(cur,
+                                  jnp.where(active, Tmax[:, o, li], 0))
+        final_min = cur
+        accepted = (processed[..., None] &
+                    (T == final_min[:, None, None, None]) & anchor_valid)
+        accepted = accepted & ~wipe[:, 1][:, None, None, None]
+
+        # --- per-unit diagonal dedup, enumeration order ------------------
+        acc = accepted.reshape(U, F)
+        dg = diag.reshape(U, F)
+        posf = pos.reshape(U, F)
+        tri = (jnp.arange(F)[:, None] < jnp.arange(F)[None, :])  # p < q
+        dup = ((dg[:, :, None] == dg[:, None, :]) & acc[:, :, None]
+               & tri[None]).any(axis=1)
+        keep = acc & ~dup
+        n_keep = keep.sum(axis=1)
+
+        rank = jnp.cumsum(keep, axis=1) - 1
+        sel = keep[:, :, None] & (rank[:, :, None] ==
+                                  jnp.arange(CAP)[None, None, :])
+        orient_f = (jnp.arange(F, dtype=jnp.int32) //
+                    (S * seg_cap))[None, :, None]
+        # per-anchor segment offset: repeat/tile, no gather
+        off_f = jnp.tile(jnp.repeat(offsets, seg_cap, axis=1), (1, 2))
+        hits = jnp.sum(jnp.where(sel, posf[:, :, None], 0), axis=1)
+        hits_off = jnp.sum(jnp.where(sel, off_f[:, :, None], 0), axis=1)
+        orient = jnp.sum(jnp.where(sel, orient_f, 0), axis=1) \
+            .astype(jnp.int8)
+
+        tot = jnp.minimum(n_keep, CAP).astype(jnp.int32)
+        fallback = (seg_over.any((1, 2)) | (n_keep > CAP)) & (skip == 0)
+        return hits, hits_off, orient, tot, fallback
+
+    # ---- decision layer (verbatim semantics from device_pipeline) -------
+
+    def decide_single(smax, tot, thr):
+        idx = jnp.arange(CAP, dtype=jnp.int32)[None, :]
+        innh = idx < tot[:, None]
+        elig = innh & (smax >= thr[:, None])
+        top = jnp.max(jnp.where(elig, smax, NEGBIG), axis=1)
+        is_top = elig & (smax == top[:, None])
+        cnt = is_top.sum(1)
+        bsm = jnp.argmax(is_top, axis=1).astype(jnp.int32)
+        code = jnp.where(cnt == 0, NEITHER_MAP,
+                         jnp.where(cnt == 1, UNIQUE_SINGLE, NON_NO))
+        use = (cnt == 1).astype(jnp.int32)
+        best = jnp.where(cnt == 1, bsm, 0)
+        return code, best, use
+
+    def first_argmax(masked_bool):
+        return jnp.argmax(masked_bool, axis=1).astype(jnp.int32)
+
+    def decide_pair(e1, e2, thr1, thr2):
+        smax1, pos1, tot1 = e1["smax"], e1["pos"], e1["tot"]
+        smax2, pos2, tot2 = e2["smax"], e2["pos"], e2["tot"]
+        or1, or2 = e1["orient"], e2["orient"]
+        idx = jnp.arange(CAP, dtype=jnp.int32)[None, :]
+        v1 = idx < tot1[:, None]
+        v2 = idx < tot2[:, None]
+        el1 = v1 & (smax1 >= thr1[:, None])
+        el2 = v2 & (smax2 >= thr2[:, None])
+
+        dist = jnp.abs(pos1[:, :, None] - pos2[:, None, :])
+        pm = (el1[:, :, None] & el2[:, None, :] &
+              (dist >= min_dist) & (dist <= max_dist) &
+              (or1[:, :, None] != or2[:, None, :]))
+        ssum = smax1[:, :, None] + smax2[:, None, :]
+        tot_best = jnp.max(jnp.where(pm, ssum, NEGBIG), axis=(1, 2))
+        maxm = pm & (ssum == tot_best[:, None, None])
+        perfect = maxm.sum((1, 2))
+        flat = maxm.reshape(B, -1)
+        first_lin = jnp.argmax(flat, axis=1).astype(jnp.int32)
+        sm1 = first_lin // CAP
+        sm2 = first_lin % CAP
+        lin = jnp.arange(CAP * CAP, dtype=jnp.int32).reshape(CAP, CAP)
+        share = (maxm & (lin[None] != first_lin[:, None, None]) &
+                 ((jnp.arange(CAP)[None, :, None] == sm1[:, None, None]) |
+                  (jnp.arange(CAP)[None, None, :] == sm2[:, None, None])))
+        slip = 1 + share.sum((1, 2))
+
+        s1m = jnp.where(v1, smax1, NEGBIG)
+        max1 = s1m.max(1)
+        best1 = first_argmax(v1 & (smax1 == max1[:, None]))
+        m1_c = ((best1 != 0).astype(jnp.int32) +
+                (v1 & (idx > best1[:, None]) &
+                 (smax1 == max1[:, None])).sum(1))
+        s2m = jnp.where(v2, smax2, NEGBIG)
+        max2 = s2m.max(1)
+        best2 = first_argmax(v2 & (smax2 == max2[:, None]))
+        s2ref = jnp.take_along_axis(smax2, best1[:, None], axis=1)[:, 0]
+        m2_c = ((best2 != 0).astype(jnp.int32) +
+                (v2 & (idx > best2[:, None]) &
+                 (smax2 >= s2ref[:, None])).sum(1))
+        elig_b1 = max1 >= thr1
+        elig_b2 = max2 >= thr2
+        u1 = elig_b1 & (m1_c < 2)
+        u2 = elig_b2 & (m2_c < 2)
+        code_np = jnp.where(u1 & u2, UNIQUE_MIS,
+                            jnp.where(u1 | u2, UNIQUE_SINGLE, NON_MIS))
+
+        has_perf = perfect > 0
+        use_both = (perfect == 1) | (slip == perfect)
+        code = jnp.where(has_perf,
+                         jnp.where(perfect == 1, UNIQUE_MATE,
+                                   jnp.where(slip == perfect, UNIQUE_SLIP,
+                                             NON_MATE)),
+                         code_np)
+        b1 = jnp.where(has_perf, sm1, best1)
+        b2 = jnp.where(has_perf, sm2, best2)
+        use1 = jnp.where(has_perf, use_both, u1).astype(jnp.int32)
+        use2 = jnp.where(has_perf, use_both, u2).astype(jnp.int32)
+
+        c_s1, b_s1, u_s1 = decide_single(smax1, tot1, thr1)
+        c_s2, b_s2, u_s2 = decide_single(smax2, tot2, thr2)
+        n1z = tot1 == 0
+        n2z = tot2 == 0
+        both = (~n1z) & (~n2z)
+        only1 = (~n1z) & n2z
+        only2 = n1z & (~n2z)
+        code = jnp.where(both, code,
+                         jnp.where(only1, c_s1,
+                                   jnp.where(only2, c_s2, NEITHER_MAP)))
+        best1 = jnp.where(both, b1, jnp.where(only1, b_s1, 0))
+        best2 = jnp.where(both, b2, jnp.where(only2, b_s2, 0))
+        use1 = jnp.where(both, use1, jnp.where(only1, u_s1, 0))
+        use2 = jnp.where(both, use2, jnp.where(only2, u_s2, 0))
+        return code, best1, best2, use1, use2
+
+    # ---- the fused step --------------------------------------------------
+
+    def pairize(fb_u):
+        """A fallback on either end routes the WHOLE pair to the host
+        (mirrors device_pipeline: otherwise the device would emit pileup
+        events for one end while the host remaps both)."""
+        if paired:
+            fbp = fb_u[:B] | fb_u[B:]
+            return jnp.concatenate([fbp, fbp])
+        return fb_u
+
+    def unpack_reads(cw, nw):
+        c = unpack_codes(cw, M)
+        nm = unpack_mask(nw, M)
+        return jnp.where(nm, jnp.uint8(sw2.XN), c)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(dev_counts, nkeys, val_start, val_meta, hi_table, positions,
+             gcode, gmask, ist, st_pad,
+             xc_f_w, xn_f_w, xc_r_w, xn_r_w,
+             lens, offsets, n_segs, mm0, skip, thr, fb_host):
+        """All (U, ...) unit-major inputs (end-major: end1 rows then
+        end2).  Returns (dev_counts, packed (B, 6), rec)."""
+        xf = unpack_reads(xc_f_w, xn_f_w)
+        xr = unpack_reads(xc_r_w, xn_r_w)
+
+        hits, hits_off, orient, tot, fb = seed_nbr(
+            nkeys, val_start, val_meta, hi_table, positions,
+            xf, xr, offsets, n_segs, mm0, skip)
+        fb = pairize(fb | fb_host)
+        tot = jnp.where(fb, 0, tot)
+        # units whose hits spill past H_CAP fall back (cap semantics)
+        fb = pairize(fb | (jnp.cumsum(tot) > H_CAP))
+        tot = jnp.where(fb, 0, tot)
+
+        # --- scatter-free slot compaction (two-level) ----------------------
+        idxc = jnp.arange(CAP, dtype=jnp.int32)[None, :]
+        validh = idxc < tot[:, None]
+        cu = jnp.cumsum(tot)                           # (U,) inclusive
+        n_slots = cu[-1]
+        cu_excl = cu - tot
+        slot_tab = jnp.where(validh, cu_excl[:, None] + idxc, H_CAP)
+        steps_u = max(1, int(np.ceil(np.log2(U + 1))))
+        sarange = jnp.arange(H_CAP, dtype=jnp.int32)
+        rid_s = jnp.clip(vsearch_ge(cu, sarange + 1, steps_u), 0, U - 1)
+        slot_ok = sarange < n_slots
+        rid_c = jnp.where(slot_ok, rid_s, 0)
+        hid_s = jnp.where(slot_ok, sarange - cu_excl[rid_c], 0)
+
+        spots_s = jnp.maximum(
+            0, hits[rid_c, hid_s] - hits_off[rid_c, hid_s])
+        lens_s = lens[rid_c].astype(jnp.int32)
+        start_s, blen_s = windows(st_pad, ist, spots_s, lens_s)
+        blen_m = jnp.where(slot_ok, blen_s, 0).astype(jnp.int32)
+        refs_x, exo = fetch_windows(gcode, gmask, start_s, blen_m)
+        ors_s = orient[rid_c, hid_s]
+        # packed-word row gathers, then unpack (byte-wise row gathers
+        # cost ~8 ns/elem; word-wise are 16x fewer elements)
+        rw = jnp.where(ors_s[:, None] == 1, xc_r_w[rid_c], xc_f_w[rid_c])
+        rnw = jnp.where(ors_s[:, None] == 1, xn_r_w[rid_c],
+                        xn_f_w[rid_c])
+        reads_s = unpack_reads(rw, rnw)
+        rlens_s = jnp.where(slot_ok, lens_s, 1)
+
+        score, bk, bi = sw_align(refs_x, blen_m, reads_s, rlens_s,
+                                 bisulfite, N)
+
+        score_pad = jnp.concatenate(
+            [jnp.where(slot_ok, score, PAD_SCORE),
+             jnp.full((1,), PAD_SCORE, jnp.int32)])
+        smax = score_pad[slot_tab]                     # (U, CAP)
+        spots_pad = jnp.concatenate([spots_s, jnp.zeros(1, jnp.int32)])
+        pos_tab = spots_pad[slot_tab]
+
+        # windows touching exotic genome chars -> host fallback
+        exo_pad = jnp.concatenate([exo & slot_ok, jnp.zeros(1, bool)])
+        fb = pairize(fb | (exo_pad[slot_tab] & validh).any(axis=1))
+        tot = jnp.where(fb, 0, tot)
+        smax = jnp.where(fb[:, None], PAD_SCORE, smax)
+
+        # --- decide -------------------------------------------------------
+        if paired:
+            e1 = dict(smax=smax[:B], pos=pos_tab[:B], tot=tot[:B],
+                      orient=orient[:B])
+            e2 = dict(smax=smax[B:], pos=pos_tab[B:], tot=tot[B:],
+                      orient=orient[B:])
+            code, b1, b2, u1, u2 = decide_pair(e1, e2, thr[:B], thr[B:])
+            best_u = jnp.concatenate([b1, b2])
+            use_u = jnp.concatenate([u1, u2])
+            code_out = code
+        else:
+            code_out, b1, u1 = decide_single(smax, tot, thr)
+            best_u = b1
+            use_u = u1
+
+        # per-unit winner info (gather-only)
+        slot_b = jnp.take_along_axis(slot_tab, best_u[:, None],
+                                     axis=1)[:, 0]
+        slot_b = jnp.clip(slot_b, 0, H_CAP - 1)
+        m_u = jnp.where(use_u == 1,
+                        start_s[slot_b] + bi[slot_b] + 1, 0)
+        orb_u = jnp.take_along_axis(orient, best_u[:, None],
+                                    axis=1)[:, 0].astype(jnp.int32)
+
+        # --- winner compaction + traceback --------------------------------
+        wmask = use_u == 1
+        wc = jnp.cumsum(wmask.astype(jnp.int32))
+        n_win = wc[-1]
+        wsrc = vsearch_ge(wc, jnp.arange(1, U + 1, dtype=jnp.int32),
+                          steps_u)
+        wsrc = jnp.clip(wsrc, 0, U - 1)
+        w_ok = jnp.arange(U, dtype=jnp.int32) < n_win
+        uw = jnp.where(w_ok, wsrc, 0)
+        slot_w = slot_b[uw]
+        start_w = start_s[slot_w]
+        blen_w = jnp.where(w_ok, blen_s[slot_w], 0)
+        k_w = jnp.where(w_ok, bk[slot_w], 0)
+        i_w = jnp.where(w_ok, bi[slot_w], 0)
+        orw = orb_u[uw]
+        rww = jnp.where(orw[:, None] == 1, xc_r_w[uw], xc_f_w[uw])
+        rnww = jnp.where(orw[:, None] == 1, xn_r_w[uw], xn_f_w[uw])
+        reads_w = unpack_reads(rww, rnww)
+        rlens_w = jnp.where(w_ok, lens[uw].astype(jnp.int32), 1)
+        refs_w, _ = fetch_windows(gcode, gmask, start_w, blen_w)
+
+        ev_kind, ins_j, ins_len = sw_traceback(
+            refs_w, blen_w, reads_w, rlens_w, k_w, i_w, bisulfite, N)
+
+        # --- pileup scatter (flat u32) -------------------------------------
+        rowv = jnp.arange(N, dtype=jnp.int32)[None, :]
+        pos_abs = start_w[:, None] + rowv
+        okev = (ev_kind != sw2.EV_NONE) & w_ok[:, None]
+        flat_idx = jnp.where(
+            okev, pos_abs * 6 + ev_kind.astype(jnp.int32), 0).reshape(-1)
+        dev_counts = dev_counts.at[flat_idx].add(
+            okev.reshape(-1).astype(jnp.uint32), mode="drop")
+        insm = (ins_j >= 0) & w_ok[:, None]
+        # insertion count column (rare): compact then scatter tiny
+        fi = insm.reshape(-1)
+        ci = jnp.cumsum(fi.astype(jnp.int32))
+        n_ins = ci[-1]
+        steps_i = max(1, int(np.ceil(np.log2(U * N + 1))))
+        isrc = vsearch_ge(ci, jnp.arange(1, ins_cap + 1, dtype=jnp.int32),
+                          steps_i)
+        isrc = jnp.clip(isrc, 0, U * N - 1)
+        i_ok = jnp.arange(ins_cap, dtype=jnp.int32) < n_ins
+        iu = isrc // N
+        ir = isrc % N
+        ipos = start_w[iu] + ir
+        dev_counts = dev_counts.at[
+            jnp.where(i_ok, ipos * 6 + 5, 0)].add(
+            i_ok.astype(jnp.uint32), mode="drop")
+        rec = jnp.stack([
+            jnp.where(i_ok, uw[iu], -1),
+            jnp.where(i_ok, ipos, -1),
+            jnp.where(i_ok, ins_j.reshape(-1)[isrc].astype(jnp.int32), -1),
+            jnp.where(i_ok, ins_len.reshape(-1)[isrc].astype(jnp.int32),
+                      0)], axis=1)
+        rec = jnp.concatenate(
+            [rec, jnp.stack([n_ins, 0, 0, 0])[None]], axis=0)
+
+        if paired:
+            packed = jnp.stack(
+                [m_u[:B], m_u[B:], code_out,
+                 orb_u[:B], orb_u[B:],
+                 (fb[:B] | fb[B:]).astype(jnp.int32)], axis=1)
+        else:
+            packed = jnp.stack(
+                [m_u, jnp.zeros(B, jnp.int32), code_out, orb_u,
+                 jnp.zeros(B, jnp.int32), fb.astype(jnp.int32)], axis=1)
+        return dev_counts, packed, rec
+
+    return step
+
+
+def _sw_fns(N):
+    """Pick SW align/traceback implementations: Pallas kernels on TPU,
+    XLA elsewhere or when PECALLER_NO_PALLAS=1."""
+    import jax
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("PECALLER_NO_PALLAS")):
+        from ..ops.sw_pallas2 import sw_align_x_pallas, sw_tb_rows_pallas
+
+        def align(refs, blens, reads, rlens, bis, n_rows):
+            return sw_align_x_pallas(refs, blens, reads, rlens,
+                                     bisulfite=bis, n_rows=n_rows)
+
+        def tb(refs, blens, reads, rlens, bk, bi, bis, n_rows):
+            return sw_tb_rows_pallas(refs, blens, reads, rlens, bk, bi,
+                                     bisulfite=bis, n_rows=n_rows)
+        return align, tb
+
+    def align(refs, blens, reads, rlens, bis, n_rows):
+        return sw2.sw_align_x(refs, blens, reads, rlens, bisulfite=bis,
+                              n_rows=n_rows)
+
+    def tb(refs, blens, reads, rlens, bk, bi, bis, n_rows):
+        return sw2.sw_traceback_rows(refs, blens, reads, rlens, bk, bi,
+                                     bisulfite=bis, n_rows=n_rows)
+    return align, tb
+
+
+# --------------------------------------------------------------------------
+# engine
+
+class FusedMapperEngine2(MapperEngine):
+    """Fused mapping engine v2 (inverted nbr index + scatter-free
+    device pipeline).  Same public API as FusedMapperEngine."""
+
+    def __init__(self, *args, nbr: NbrIndex | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        from ..utils import enable_compilation_cache
+        enable_compilation_cache()
+        import jax.numpy as jnp
+        self._jnp = jnp
+        gs = self.sdx.genome_size
+        if gs >= 2**30:
+            raise ValueError("fused device engine requires genome < 2^30 "
+                             "bases; use the host engine")
+        if nbr is None:
+            from ..index.nbr import build_nbr_index
+            nbr = build_nbr_index(self.index)
+        self.dev_counts = jnp.zeros(gs * 6, jnp.uint32)
+        self._dnbr = NbrDeviceIndex(nbr)
+        cw, mw = pack_genome(self.genome)
+        self._gcode = jnp.asarray(cw)
+        self._gmask = jnp.asarray(mw)
+        ist = self._istarts.astype(np.int32)
+        self._ist_dev = jnp.asarray(ist)
+        n_pad = max(self.sdx.n_contigs + 1, 70) + 1
+        st_pad = np.full(n_pad, 2**31 - 1, np.int32)
+        st_pad[:len(ist)] = ist
+        self._st_pad_dev = jnp.asarray(st_pad)
+        self._fns = {}
+        self.n_fallback = 0
+
+    def _fn_for(self, B, M, N, s_max):
+        key = (B, M, N, s_max)
+        if key not in self._fns:
+            self._fns[key] = build_fused_step2(
+                self._dnbr, paired=self.paired, bisulfite=self.bisulfite,
+                min_dist=self.min_dist, max_dist=self.max_dist,
+                n_contigs=self.sdx.n_contigs,
+                genome_size=self.sdx.genome_size,
+                B=B, M=M, N=N, s_max=s_max)
+        return self._fns[key]
+
+    def _prep_end2(self, seqs, lens, B, M, s_max):
+        """Pack one end's reads: codes/N-mask words for both
+        orientations + per-read metadata."""
+        n = seqs.shape[0]
+        seqs_p = np.zeros((B, M), dtype=np.uint8)
+        seqs_p[:n, :min(M, seqs.shape[1])] = seqs[:, :M]
+        lens_p = np.full(B, 16, np.int32)
+        lens_p[:n] = lens
+        idx = lens_p[:, None].astype(np.int64) - 1 - np.arange(M)[None, :]
+        rev = np.where(idx >= 0,
+                       _RC[seqs_p[np.arange(B)[:, None],
+                                  np.clip(idx, 0, M - 1)]],
+                       0).astype(np.uint8)
+        inlen = np.arange(M)[None, :] < lens_p[:, None]
+        exotic = (_EXOTIC[seqs_p] & inlen).any(axis=1)
+        cf = pack2(_CODE_TAB[seqs_p])
+        cr = pack2(_CODE_TAB[rev])
+        nf = pack_mask((seqs_p == ord("N")) & inlen)
+        nr = pack_mask((rev == ord("N")) & inlen)
+        n_count = (seqs == ord("N")).sum(axis=1)
+        skip = np.ones(B, np.int32)
+        skip[:n] = (n_count >= 1 + lens // 10).astype(np.int32)
+        n_segs, offs = segment_offsets(lens_p.astype(np.int64))
+        tc = n_segs - 1
+        mm0 = np.minimum(np.maximum(1, tc), 4)
+        over4 = tc > 4
+        mm0[over4] = np.minimum((4 * tc[over4]) // 5, 4)
+        thr = exact_score_threshold(lens_p, self.min_align)
+        return (cf, nf, cr, nr, lens_p,
+                offs[:, :s_max].astype(np.int32),
+                n_segs.astype(np.int32), mm0.astype(np.int32), skip, thr,
+                exotic)
+
+    def _seg_bucket(self, s_needed):
+        for b in (8, 12, 20):
+            if s_needed <= b:
+                return b
+        return 20
+
+    def map_batch_async(self, seqs1, lens1, seqs2=None, lens2=None,
+                        read_nos=None):
+        lens1 = np.asarray(lens1, np.int64)
+        B = _bucket_b(seqs1.shape[0])
+        maxlen = int(lens1.max()) if len(lens1) else 32
+        if self.paired:
+            lens2 = np.asarray(lens2, np.int64)
+            maxlen = max(maxlen, int(lens2.max()) if len(lens2) else 32)
+        M = _pad_to(max(maxlen, 32), 16)
+        N = _pad_to(M + 2 * MISALIGN_SLOP + 1, 16)
+        n_segs = max(1, maxlen // 16)
+        s_max = self._seg_bucket(n_segs)
+        fn = self._fn_for(B, M, N, s_max)
+        a1 = self._prep_end2(seqs1, lens1, B, M, s_max)
+        if self.paired:
+            a2 = self._prep_end2(seqs2, lens2, B, M, s_max)
+            ins = [np.concatenate([x, y], axis=0)
+                   for x, y in zip(a1, a2)]
+        else:
+            ins = list(a1)
+        (cf, nf, cr, nr, lens_u, offs, nsg, mm0, skip, thr, exo) = ins
+        d = self._dnbr
+        self.dev_counts, packed, rec = fn(
+            self.dev_counts, d.nkeys, d.val_start, d.val_meta,
+            d.hi_table, d.positions, self._gcode, self._gmask,
+            self._ist_dev, self._st_pad_dev,
+            cf, nf, cr, nr, lens_u, offs, nsg, mm0, skip, thr,
+            exo)
+        return dict(packed=packed, rec=rec,
+                    seqs1=seqs1, lens1=lens1, seqs2=seqs2, lens2=lens2,
+                    read_nos=read_nos, n=seqs1.shape[0], B=B)
+
+    def resolve(self, h):
+        packed = np.asarray(h["packed"])
+        n = h["n"]
+        B = h["B"]
+        m1 = packed[:n, 0].astype(np.uint32)
+        m2 = packed[:n, 1].astype(np.uint32)
+        code = packed[:n, 2].astype(np.int32)
+        orb1 = packed[:n, 3]
+        orb2 = packed[:n, 4]
+        fb = packed[:n, 5].astype(bool)
+        read_nos = h["read_nos"]
+        seqs1, lens1 = h["seqs1"], h["lens1"]
+        seqs2, lens2 = h["seqs2"], h["lens2"]
+
+        rec = np.asarray(h["rec"])
+        n_ins = int(rec[-1, 0])
+        if n_ins > rec.shape[0] - 1:
+            raise RuntimeError("insertion record cap exceeded; raise "
+                               "ins_cap in device_map2")
+        rev1 = rev2 = None
+        for unit, gpos, js, ln in rec[:n_ins]:
+            end = 1 if (self.paired and unit >= B) else 0
+            rid = int(unit) - (B if end else 0)
+            if rid < 0 or rid >= n or fb[rid]:
+                continue
+            if end == 0:
+                seqs, lens, orb = seqs1, lens1, orb1
+                if orb[rid] == 1 and rev1 is None:
+                    rev1 = revcomp_batch(seqs1, lens1)
+                rev = rev1
+            else:
+                seqs, lens, orb = seqs2, lens2, orb2
+                if orb[rid] == 1 and rev2 is None:
+                    rev2 = revcomp_batch(seqs2, lens2)
+                rev = rev2
+            src = rev[rid] if orb[rid] == 1 else seqs[rid]
+            sstr = src[js:js + ln].tobytes().decode()
+            rn = int(read_nos[rid]) if read_nos is not None else int(rid)
+            self.ins_records.append(
+                ((self._order_counter + rn, end), int(gpos), sstr))
+
+        keep = ~fb
+        self._accumulate_stats(
+            code[keep], m1[keep], m2[keep], lens1[keep],
+            lens2[keep] if self.paired else None)
+
+        if fb.any():
+            idx = np.nonzero(fb)[0]
+            self.n_fallback += len(idx)
+            nos = (read_nos[idx] if read_nos is not None
+                   else idx.astype(np.int64))
+            fm1, fm2, fcode = MapperEngine.map_batch(
+                self, np.ascontiguousarray(seqs1[idx]), lens1[idx],
+                np.ascontiguousarray(seqs2[idx]) if self.paired else None,
+                lens2[idx] if self.paired else None, read_nos=nos)
+            m1[idx] = fm1
+            m2[idx] = fm2
+            code[idx] = fcode
+        return m1, m2, code
+
+    def map_batch(self, seqs1, lens1, seqs2=None, lens2=None,
+                  read_nos=None):
+        return self.resolve(self.map_batch_async(
+            seqs1, lens1, seqs2, lens2, read_nos=read_nos))
+
+    def final_pileup(self) -> np.ndarray:
+        host = self.pileup.sum(axis=0, dtype=np.uint16)
+        dev = (np.asarray(self.dev_counts).reshape(-1, 6)
+               & 0xFFFF).astype(np.uint16)
+        return (host + dev).astype(np.uint16)
+
+    def reset_group(self) -> None:
+        super().reset_group()
+        self.dev_counts = self._jnp.zeros(
+            self.sdx.genome_size * 6, self._jnp.uint32)

@@ -1,0 +1,83 @@
+"""FusedMapperEngine2 (device_map2: nbr index + scatter-free pipeline)
+equivalence vs the exact host engine — same contract as test_fused.py."""
+
+import numpy as np
+import pytest
+
+from util import make_genome, write_fasta, sample_reads, write_fastq
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fused2")
+    rng = np.random.default_rng(43)
+    names, seqs = make_genome(rng, [30000, 20000], n_blocks=[(0, 5000, 30)])
+    fa = str(d / "g.fa")
+    write_fasta(fa, names, seqs)
+    from pecaller_tpu.index import build_index
+    build_index(fa, str(d / "g"), write_idx=False)
+    reads = sample_reads(rng, names, seqs, 900, read_len=100, err_rate=0.01,
+                         paired=True, insert_lo=150, insert_hi=450,
+                         indel_rate=0.15, max_indel=4)
+    write_fastq(str(d / "r1.fastq"), reads, which=0)
+    write_fastq(str(d / "r2.fastq"), reads, which=1)
+    return d
+
+
+def _engines(d, **kw):
+    from pecaller_tpu.formats.sdx import read_sdx, read_seq
+    from pecaller_tpu.formats.index_files import load_index
+    from pecaller_tpu.mapper.engine import MapperEngine
+    from pecaller_tpu.mapper.device_map2 import FusedMapperEngine2
+    sdx = read_sdx(str(d / "g.sdx"))
+    genome = read_seq(str(d / "g.seq"), sdx.genome_size)
+    index = load_index(str(d / "g"))
+    return (MapperEngine(sdx, genome, index, **kw),
+            FusedMapperEngine2(sdx, genome, index, **kw))
+
+
+def test_fused2_matches_oracle(data):
+    from pecaller_tpu.formats.fastq import FastqBatcher
+    e_ref, e_fus = _engines(data, paired=True, min_align=0.9, min_dist=0,
+                            max_dist=500, nthreads=2)
+    batches = list(FastqBatcher(str(data / "r1.fastq"),
+                                str(data / "r2.fastq"),
+                                batch_size=900).batches())
+    for s1, l1, s2, l2, nos in batches:
+        rm1, rm2, rc = e_ref.map_batch(s1, l1, s2, l2, read_nos=nos)
+        fm1, fm2, fc = e_fus.map_batch(s1, l1, s2, l2, read_nos=nos)
+        assert np.array_equal(rc, fc)
+        assert np.array_equal(rm1, fm1)
+        assert np.array_equal(rm2, fm2)
+
+    assert np.array_equal(e_ref.stats.mate_counts, e_fus.stats.mate_counts)
+    assert e_ref.stats.total_dist == e_fus.stats.total_dist
+    assert e_ref.stats.no_dists == e_fus.stats.no_dists
+    assert e_ref.stats.total_bases == e_fus.stats.total_bases
+
+    p_ref = e_ref.final_pileup().astype(np.int64)
+    p_fus = e_fus.final_pileup().astype(np.int64)
+    assert np.array_equal(p_ref.sum(0), p_fus.sum(0))
+    ndiff = int((p_ref != p_fus).any(1).sum())
+    nnz = int((p_ref.sum(1) > 0).sum())
+    assert ndiff <= max(4, nnz // 100), (ndiff, nnz)
+
+    kr = sorted((k, len(s)) for k, _, s in e_ref.ins_records)
+    kf = sorted((k, len(s)) for k, _, s in e_fus.ins_records)
+    assert kr == kf
+
+
+def test_fused2_single_end(data):
+    from pecaller_tpu.formats.fastq import FastqBatcher
+    e_ref, e_fus = _engines(data, paired=False, min_align=0.9, nthreads=2)
+    batches = list(FastqBatcher(str(data / "r1.fastq"), None,
+                                batch_size=512).batches())
+    for s1, l1, s2, l2, nos in batches:
+        rm1, _, rc = e_ref.map_batch(s1, l1, read_nos=nos)
+        fm1, _, fc = e_fus.map_batch(s1, l1, read_nos=nos)
+        assert np.array_equal(rc, fc)
+        assert np.array_equal(rm1, fm1)
+    assert np.array_equal(e_ref.stats.mate_counts, e_fus.stats.mate_counts)
+    p_ref = e_ref.final_pileup().astype(np.int64)
+    p_fus = e_fus.final_pileup().astype(np.int64)
+    assert np.array_equal(p_ref.sum(0), p_fus.sum(0))
