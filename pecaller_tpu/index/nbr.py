@@ -90,14 +90,17 @@ def build_nbr_index(index: SeedIndex,
             f"{max_positions}")
     abundant = counts >= TOO_MANY
 
-    # all (variant_key, exact_idx) pairs, sorted by variant key
+    # all (variant_key, exact_idx) pairs, sorted by variant key: packed
+    # u64 sort (key<<idx_bits | exact_idx) beats argsort ~2x at 49*Ne
+    idx_bits = max(1, int(ne - 1).bit_length())
     nball = mismatch_neighborhood_keys(keys)            # (Ne, 49)
-    flat_v = nball.ravel()
-    flat_e = np.repeat(np.arange(ne, dtype=np.int64), 49)
-    order = np.argsort(flat_v, kind="stable")
-    sv = flat_v[order]
-    se = flat_e[order]
-    del flat_v, flat_e, order, nball
+    combo = (nball.astype(np.uint64) << np.uint64(idx_bits))
+    combo |= np.arange(ne, dtype=np.uint64)[:, None]
+    combo = combo.ravel()
+    combo.sort()
+    sv = (combo >> np.uint64(idx_bits)).astype(np.uint32)
+    se = (combo & np.uint64((1 << idx_bits) - 1)).astype(np.int64)
+    del combo, nball
 
     newg = np.empty(len(sv), dtype=bool)
     newg[0] = True
@@ -106,12 +109,11 @@ def build_nbr_index(index: SeedIndex,
     nkeys = sv[newg].copy()
     nn = len(nkeys)
 
-    # per-group totals / flags
+    # per-group totals / flags (bincount beats ufunc.at ~20x)
     pair_cnt = counts[se]
-    g_cnt = np.zeros(nn, dtype=np.int64)
-    np.add.at(g_cnt, gid, pair_cnt)
-    g_ab = np.zeros(nn, dtype=bool)
-    np.logical_or.at(g_ab, gid, abundant[se])
+    g_cnt = np.bincount(gid, weights=pair_cnt.astype(np.float64),
+                        minlength=nn).astype(np.int64)
+    g_ab = np.bincount(gid[abundant[se]], minlength=nn) > 0
 
     # expand pair position ranges, then sort by (group, position)
     off = np.cumsum(pair_cnt) - pair_cnt
