@@ -19,17 +19,17 @@ abundance gate applies per VARIANT key (any constituent exact key with
 >= 100 positions poisons the probing segment, pemapper.c:1599-1615), so
 each nbr record carries an "abundant constituent" flag.
 
+Build strategy: every (variant_key, position) pair becomes one u64
+  variant(32) << 31 | position(30) << 1 | abundant(1)
+and ONE in-place sort orders the whole index (variant-major, position
+ascending within variant; the abundant low bit can't reorder positions).
+Positions are < 2^30 by the fused-engine gate, so this fits 63 bits.
+Large buffers are hugepage-backed (utils/hugemem.py) because this VM
+faults 4K pages at ~40 MB/s.
+
 Storage blows up ~49x on positions, so this index is gated to small
 genomes (build_nbr_index refuses above ``max_positions``); larger
 genomes keep the direct CSR path.
-
-Record layout (device side):
-  nkeys    (Nn,)  uint32  sorted unique closure keys
-  val      (Nn,)  uint64  start(34) | cnt_sat8(<<40) | abund(<<48)
-  pos_pair (ceil(P/2)+pad,) uint64  positions packed two per word
-                                    (lo = even index), enabling 2x wider
-                                    gathers
-  hi_table (2^HI+1,) int32  prefix counts over the top HI key bits
 """
 
 from __future__ import annotations
@@ -40,23 +40,21 @@ import numpy as np
 
 from ..formats.index_files import SeedIndex
 from ..ops.encode import mismatch_neighborhood_keys
+from ..utils.hugemem import hp_empty
 
 TOO_MANY = 100          # pemapper.c:162 too_many_spots
-NBR_HI_BITS = 26
-NBR_MAGIC = 0x4E425231  # "NBR1"
+NBR_MAGIC = 0x4E425232  # "NBR2"
+_CH = 1 << 23           # elements per streaming chunk
 
 
 class NbrIndex:
     """Host-side container for the inverted neighborhood index."""
 
     def __init__(self, nkeys: np.ndarray, val: np.ndarray,
-                 positions: np.ndarray, hi_table: np.ndarray):
+                 positions: np.ndarray):
         self.nkeys = nkeys          # uint32 sorted
-        self.val = val              # uint64 packed
-        self.positions = positions  # uint32
-        self.hi_table = hi_table    # int32 (2^HI + 1)
-        sub = np.diff(hi_table)
-        self.max_subrange = int(sub.max()) if len(sub) else 1
+        self.val = val              # uint64: start(34)|cnt8<<40|ab<<48
+        self.positions = positions  # uint32 (int32-safe values)
 
     @staticmethod
     def pack_val(start: np.ndarray, cnt_sat: np.ndarray,
@@ -80,65 +78,87 @@ def build_nbr_index(index: SeedIndex,
     counts = np.diff(starts)
     ne = len(keys)
     if ne == 0:
-        return NbrIndex(np.zeros(0, np.uint32), np.zeros(0, np.uint64),
-                        np.zeros(0, np.uint32),
-                        np.zeros((1 << NBR_HI_BITS) + 1, np.int32))
-    total_out = 49 * int(counts.sum())
-    if total_out > max_positions:
+        z = np.zeros(0, np.uint32)
+        return NbrIndex(z, np.zeros(0, np.uint64), z.copy())
+    P = int(counts.sum())
+    total = 49 * P
+    if total > max_positions:
         raise ValueError(
-            f"nbr index would hold {total_out} positions > cap "
+            f"nbr index would hold {total} positions > cap "
             f"{max_positions}")
-    abundant = counts >= TOO_MANY
+    if int(positions.max(initial=0)) >= (1 << 30):
+        raise ValueError("nbr index requires positions < 2^30")
 
-    # all (variant_key, exact_idx) pairs, sorted by variant key: packed
-    # u64 sort (key<<idx_bits | exact_idx) beats argsort ~2x at 49*Ne
-    idx_bits = max(1, int(ne - 1).bit_length())
-    nball = mismatch_neighborhood_keys(keys)            # (Ne, 49)
-    combo = (nball.astype(np.uint64) << np.uint64(idx_bits))
-    combo |= np.arange(ne, dtype=np.uint64)[:, None]
-    combo = combo.ravel()
-    combo.sort()
-    sv = (combo >> np.uint64(idx_bits)).astype(np.uint32)
-    se = (combo & np.uint64((1 << idx_bits) - 1)).astype(np.int64)
-    del combo, nball
+    # per-position exact-key fields (small: P entries)
+    e_of_p = np.repeat(np.arange(ne, dtype=np.int64), counts)
+    ab_of_p = (counts >= TOO_MANY)[e_of_p].astype(np.uint64)
+    pos_ab = (positions.astype(np.uint64) << np.uint64(1)) | ab_of_p
+    del ab_of_p
 
-    newg = np.empty(len(sv), dtype=bool)
-    newg[0] = True
-    np.not_equal(sv[1:], sv[:-1], out=newg[1:])
-    gid = np.cumsum(newg, dtype=np.int64) - 1           # group per pair
-    nkeys = sv[newg].copy()
-    nn = len(nkeys)
+    # expand all 49 variant columns into one u64 array, then one sort
+    big = hp_empty(total, np.uint64)
+    KCH = 1 << 19
+    for klo in range(0, ne, KCH):
+        khi = min(klo + KCH, ne)
+        nb = mismatch_neighborhood_keys(keys[klo:khi])  # (k, 49) u32
+        plo, phi = int(starts[klo]), int(starts[khi])
+        eo = e_of_p[plo:phi] - klo
+        pa = pos_ab[plo:phi]
+        for col in range(49):
+            vcol = nb[:, col].astype(np.uint64) << np.uint64(31)
+            big[col * P + plo:col * P + phi] = vcol[eo] | pa
+    del e_of_p, pos_ab
+    big.sort()
 
-    # per-group totals / flags (bincount beats ufunc.at ~20x)
-    pair_cnt = counts[se]
-    g_cnt = np.bincount(gid, weights=pair_cnt.astype(np.float64),
-                        minlength=nn).astype(np.int64)
-    g_ab = np.bincount(gid[abundant[se]], minlength=nn) > 0
+    # group boundaries (variant-key runs) + per-group stats, streamed
+    # into hugepage buffers (nn ~ total for sparse genomes)
+    g_start = hp_empty(total, np.int64)
+    nn = 0
+    prev_hi = None
+    for lo in range(0, total, _CH):
+        hi = min(lo + _CH, total)
+        vk = big[lo:hi] >> np.uint64(31)
+        nb = np.empty(hi - lo, bool)
+        nb[0] = (prev_hi is None) or (vk[0] != prev_hi)
+        np.not_equal(vk[1:], vk[:-1], out=nb[1:])
+        idxs = np.flatnonzero(nb)
+        g_start[nn:nn + len(idxs)] = idxs + lo
+        nn += len(idxs)
+        prev_hi = vk[-1]
+    g_start = g_start[:nn]
 
-    # expand pair position ranges, then sort by (group, position)
-    off = np.cumsum(pair_cnt) - pair_cnt
-    total = int(off[-1] + pair_cnt[-1]) if len(pair_cnt) else 0
-    within = np.arange(total, dtype=np.int64) - np.repeat(off, pair_cnt)
-    src = np.repeat(starts[se], pair_cnt) + within
-    del within, off
-    gid_e = np.repeat(gid, pair_cnt)
-    del gid, pair_cnt
-    combo = (gid_e.astype(np.uint64) << np.uint64(32)) | \
-        positions[src].astype(np.uint64)
-    del gid_e, src
-    combo.sort()
-    out_pos = (combo & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    del combo
+    # abundance prefix sums over the stolen low bit
+    ab_cum = hp_empty(total + 1, np.int64)
+    ab_cum[0] = 0
+    carry = 0
+    for lo in range(0, total, _CH):
+        hi = min(lo + _CH, total)
+        np.cumsum((big[lo:hi] & np.uint64(1)).astype(np.int64),
+                  out=ab_cum[lo + 1:hi + 1])
+        ab_cum[lo + 1:hi + 1] += carry
+        carry = int(ab_cum[hi])
 
-    g_start = np.concatenate([[0], np.cumsum(g_cnt)])[:-1]
-    cnt_sat = np.minimum(g_cnt, 255)
-    val = NbrIndex.pack_val(g_start, cnt_sat, g_ab)
+    nkeys = hp_empty(nn, np.uint32)
+    val = hp_empty(nn, np.uint64)
+    for lo in range(0, nn, _CH):
+        hi = min(lo + _CH, nn)
+        gs = g_start[lo:hi]
+        ge = np.empty(hi - lo, np.int64)
+        ge[:-1] = g_start[lo + 1:hi]
+        ge[-1] = g_start[hi] if hi < nn else total
+        nkeys[lo:hi] = (big[gs] >> np.uint64(31)).astype(np.uint32)
+        cnt_sat = np.minimum(ge - gs, 255)
+        g_ab = (ab_cum[ge] - ab_cum[gs]) > 0
+        val[lo:hi] = NbrIndex.pack_val(gs, cnt_sat, g_ab)
+    del ab_cum, g_start
 
-    hi = (nkeys >> np.uint32(32 - NBR_HI_BITS)).astype(np.int64)
-    hi_counts = np.bincount(hi, minlength=1 << NBR_HI_BITS)
-    hi_table = np.zeros((1 << NBR_HI_BITS) + 1, dtype=np.int64)
-    np.cumsum(hi_counts, out=hi_table[1:])
-    return NbrIndex(nkeys, val, out_pos, hi_table.astype(np.int32))
+    out_pos = hp_empty(total, np.uint32)
+    for lo in range(0, total, _CH):
+        hi = min(lo + _CH, total)
+        out_pos[lo:hi] = ((big[lo:hi] >> np.uint64(1))
+                          & np.uint64((1 << 30) - 1)).astype(np.uint32)
+    del big
+    return NbrIndex(nkeys, val, out_pos)
 
 
 def _cache_path(basename: str) -> str:
@@ -156,14 +176,12 @@ def load_nbr_index(basename: str, index: SeedIndex,
             or os.path.getmtime(p) >= os.path.getmtime(mdx)):
         z = np.load(p)
         if int(z["magic"]) == NBR_MAGIC:
-            return NbrIndex(z["nkeys"], z["val"], z["positions"],
-                            z["hi_table"])
+            return NbrIndex(z["nkeys"], z["val"], z["positions"])
     nbr = build_nbr_index(index, max_positions=max_positions)
     if cache:
         try:
             np.savez(p, magic=np.int64(NBR_MAGIC), nkeys=nbr.nkeys,
-                     val=nbr.val, positions=nbr.positions,
-                     hi_table=nbr.hi_table)
+                     val=nbr.val, positions=nbr.positions)
         except OSError:
             pass
     return nbr
