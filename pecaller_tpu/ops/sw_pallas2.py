@@ -1,9 +1,9 @@
-"""Pallas TPU kernels: int16 code-based SW align + row-sync traceback.
+"""Pallas TPU kernels: int32 code-based SW align + row-sync traceback.
 
 Layout (both kernels): read/ref position on SUBLANES, batch slots on
 LANES (per-row dynamic slices are only unconstrained on the sublane
-dim).  DP planes are int16 — scores are exact rationals x36 and bounded
-by 36*300 + slack, so i16 halves VPU cost vs the round-1 i32 kernel.
+dim).  DP planes are int32 (Mosaic lacks i16 rotates/reductions; scores fit
+i16 and can be packed later if the VPU cost ever dominates again).
 
 The traceback kernel replays the DP once (storing the packed decision
 bits of every cell in a VMEM scratch cube) and then walks the path
@@ -66,23 +66,23 @@ def _match16(rb, reads, bisulfite: bool):
 
 
 def _dp_row16(s0, s1, s2, bump, row):
-    """One DP row in int16 given previous planes; returns (c0, c1, c2).
-    row: sublane iota (WP, L) int16."""
+    """One DP row in int32 given previous planes; returns (c0, c1, c2).
+    row: sublane iota (WP, L) int32."""
     prev3 = jnp.maximum(jnp.maximum(s0, s1), s2)
-    c0 = _shift_down(prev3 + bump, jnp.int16(0))
-    c1 = jnp.where(row == 0, jnp.int16(0),
-                   jnp.maximum(s0 - jnp.int16(OPEN), s1 - jnp.int16(EXT)))
-    a = jnp.where(row == 0, jnp.int16(-OPEN),
-                  _shift_down(c0, jnp.int16(0)) - jnp.int16(OPEN)
-                  + row.astype(jnp.int16))
-    c2 = _cummax_sub(a, jnp.int16(NEG16)) - row.astype(jnp.int16)
+    c0 = _shift_down(prev3 + bump, jnp.int32(0))
+    c1 = jnp.where(row == 0, jnp.int32(0),
+                   jnp.maximum(s0 - jnp.int32(OPEN), s1 - jnp.int32(EXT)))
+    a = jnp.where(row == 0, jnp.int32(-OPEN),
+                  _shift_down(c0, jnp.int32(0)) - jnp.int32(OPEN)
+                  + row.astype(jnp.int32))
+    c2 = _cummax_sub(a, jnp.int32(NEG16)) - row.astype(jnp.int32)
     return c0, c1, c2
 
 
 def _row0_16(row):
-    b0 = -(jnp.int16(OPEN) + (row.astype(jnp.int16) - 1))
-    s0 = jnp.where(row == 0, jnp.int16(0), b0)
-    s2 = jnp.where(row == 0, jnp.int16(-OPEN), b0)
+    b0 = -(jnp.int32(OPEN) + (row.astype(jnp.int32) - 1))
+    s0 = jnp.where(row == 0, jnp.int32(0), b0)
+    s2 = jnp.where(row == 0, jnp.int32(-OPEN), b0)
     return s0, s0, s2
 
 
@@ -91,13 +91,13 @@ def _align_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, out_ref,
     WP, L = reads_ref.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (WP, L), 0)
     s0, s1, s2 = _row0_16(row)
-    reads = reads_ref[:].astype(jnp.int16)
+    reads = reads_ref[:].astype(jnp.int32)
     blens = blens_ref[:]
     rlens = rlens_ref[:]
     colmask = row == rlens
 
     def at_col(x):
-        return jnp.max(jnp.where(colmask, x, jnp.int16(NEG16)),
+        return jnp.max(jnp.where(colmask, x, NEG16),
                        axis=0, keepdims=True)
 
     best = at_col(s0)
@@ -106,9 +106,9 @@ def _align_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, out_ref,
 
     def body(i, carry):
         s0, s1, s2, best, bk, bi = carry
-        rb = refs_ref[pl.ds(i - 1, 1), :].astype(jnp.int16)
+        rb = refs_ref[pl.ds(i - 1, 1), :].astype(jnp.int32)
         m = _match16(rb, reads, bisulfite)
-        bump = jnp.where(m, jnp.int16(MATCH), jnp.int16(MISMATCH))
+        bump = jnp.where(m, jnp.int32(MATCH), jnp.int32(MISMATCH))
         c0, c1, c2 = _dp_row16(s0, s1, s2, bump, row)
         active = i <= blens
         for k, v in ((0, at_col(c0)), (1, at_col(c1)), (2, at_col(c2))):
@@ -116,7 +116,7 @@ def _align_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, out_ref,
             best = jnp.where(upd, v, best)
             bk = jnp.where(upd, k, bk)
             bi = jnp.where(upd, i, bi)
-        act2 = active.astype(jnp.int16)
+        act2 = active.astype(jnp.int32)
         s0 = jnp.where(active, c0, s0)
         s1 = jnp.where(active, c1, s1)
         s2 = jnp.where(active, c2, s2)
@@ -148,8 +148,8 @@ def sw_align_x_pallas(refs, blens, reads, rlens, bisulfite: bool = False,
     BP = refs.shape[0]
     WP = _round_up(M + 1, 16)
     NP = _round_up(n_rows, 16)
-    refs_i = jnp.zeros((NP, BP), jnp.int8).at[:N, :].set(
-        refs.astype(jnp.int8).T)
+    refs_i = jnp.zeros((NP, BP), jnp.int32).at[:N, :].set(
+        refs.astype(jnp.int32).T)
     reads_i = jnp.full((WP, BP), XN + 2, jnp.int8).at[:M, :].set(
         reads.astype(jnp.int8).T)
     blens_i = blens.astype(jnp.int32).reshape(1, BP)
@@ -186,11 +186,12 @@ def sw_align_x_pallas(refs, blens, reads, rlens, bisulfite: bool = False,
 
 
 def _parts16(c0, c1, c2):
-    a0 = jnp.where(c1 > c0, 1, 0).astype(jnp.uint8)
+    # int32 throughout: Mosaic rotates only support 32-bit data
+    a0 = jnp.where(c1 > c0, 1, 0)
     m = jnp.maximum(c0, c1)
-    a0 = jnp.where(c2 > m, 2, a0).astype(jnp.uint8)
-    b1 = (c1 - jnp.int16(EXT) > c0 - jnp.int16(OPEN)).astype(jnp.uint8)
-    b2 = (c2 - jnp.int16(EXT) > c0 - jnp.int16(OPEN)).astype(jnp.uint8)
+    a0 = jnp.where(c2 > m, 2, a0)
+    b1 = (c1 - jnp.int32(EXT) > c0 - jnp.int32(OPEN)).astype(jnp.int32)
+    b2 = (c2 - jnp.int32(EXT) > c0 - jnp.int32(OPEN)).astype(jnp.int32)
     return a0, b1, b2
 
 
@@ -198,7 +199,7 @@ def _tb_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, bk_ref, bi_ref,
                out_ref, bits_ref, *, n_rows: int, bisulfite: bool):
     WP, L = reads_ref.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (WP, L), 0)
-    reads = reads_ref[:].astype(jnp.int16)
+    reads = reads_ref[:].astype(jnp.int32)
     blens = blens_ref[:]
 
     # ---- phase 1: replay DP, store packed decision bits per row -------
@@ -206,9 +207,9 @@ def _tb_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, bk_ref, bi_ref,
 
     def replay(i, carry):
         s0, s1, s2 = carry
-        rb = refs_ref[pl.ds(i - 1, 1), :].astype(jnp.int16)
+        rb = refs_ref[pl.ds(i - 1, 1), :].astype(jnp.int32)
         m = _match16(rb, reads, bisulfite)
-        bump = jnp.where(m, jnp.int16(MATCH), jnp.int16(MISMATCH))
+        bump = jnp.where(m, jnp.int32(MATCH), jnp.int32(MISMATCH))
         c0, c1, c2 = _dp_row16(s0, s1, s2, bump, row)
         active = i <= blens
         n0 = jnp.where(active, c0, s0)
@@ -216,9 +217,9 @@ def _tb_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, bk_ref, bi_ref,
         n2 = jnp.where(active, c2, s2)
         a0p, b1p, _ = _parts16(s0, s1, s2)
         _, _, b2n = _parts16(n0, n1, n2)
-        comb = (_shift_down(a0p, jnp.uint8(0))
+        comb = (_shift_down(a0p, jnp.int32(0))
                 | (b1p << 2)
-                | (_shift_down(b2n, jnp.uint8(0)) << 3))
+                | (_shift_down(b2n, jnp.int32(0)) << 3))
         bits_ref[pl.ds(i, 1), :, :] = comb[None].astype(jnp.int8)
         return n0, n1, n2
 
@@ -231,9 +232,9 @@ def _tb_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, bk_ref, bi_ref,
     out_ref[:, :] = jnp.full(out_ref.shape, EV_NONE, jnp.int32)
 
     def walk(t, st):
-        jj, kk, alive = st
+        jj, kk, alive32 = st
         i = n_rows - t
-        act = alive & (bi_ref[0, :] >= i)
+        act = (alive32 != 0) & (bi_ref[:] >= i)
         rowb = bits_ref[pl.ds(i, 1), :, :][0].astype(jnp.int32)
         a0 = rowb & 3
         b1 = (rowb >> 2) & 1
@@ -280,11 +281,11 @@ def _tb_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, bk_ref, bi_ref,
         nalive = consume & (nj > 0) & (i - 1 > 0)
         jj = jnp.where(act, nj, jj)
         kk = jnp.where(act, nk, kk)
-        alive = jnp.where(act, nalive, alive)
-        return jj, kk, alive
+        alive32 = jnp.where(act, nalive.astype(jnp.int32), alive32)
+        return jj, kk, alive32
 
     st = (rlens_ref[:].astype(jnp.int32), bk_ref[:].astype(jnp.int32),
-          (bi_ref[:] > 0) & (rlens_ref[:] > 0))
+          ((bi_ref[:] > 0) & (rlens_ref[:] > 0)).astype(jnp.int32))
     jax.lax.fori_loop(0, n_rows, walk, st)
 
 
@@ -309,8 +310,8 @@ def sw_tb_rows_pallas(refs, blens, reads, rlens, bt_k, bt_i,
     BP = refs.shape[0]
     WP = _round_up(M + 1, 16)
     NP = _round_up(n_rows, 16)
-    refs_i = jnp.zeros((NP, BP), jnp.int8).at[:N, :].set(
-        refs.astype(jnp.int8).T)
+    refs_i = jnp.zeros((NP, BP), jnp.int32).at[:N, :].set(
+        refs.astype(jnp.int32).T)
     reads_i = jnp.full((WP, BP), XN + 2, jnp.int8).at[:M, :].set(
         reads.astype(jnp.int8).T)
     blens_i = blens.astype(jnp.int32).reshape(1, BP)
@@ -350,6 +351,6 @@ def sw_tb_rows_pallas(refs, blens, reads, rlens, bt_k, bt_i,
     packed = out.T[:B]                                # (B, n_rows)
     ev_kind = (packed & 15).astype(jnp.int8)
     insj_p = (packed >> 4) & 0xFFF
-    ins_j = (insj_p - 1).astype(jnp.int16)
-    ins_len = ((packed >> 16) & 0xFFF).astype(jnp.int16)
+    ins_j = (insj_p - 1).astype(jnp.int32)
+    ins_len = ((packed >> 16) & 0xFFF).astype(jnp.int32)
     return ev_kind, ins_j, ins_len
