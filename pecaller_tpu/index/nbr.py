@@ -47,21 +47,28 @@ NBR_MAGIC = 0x4E425232  # "NBR2"
 _CH = 1 << 23           # elements per streaming chunk
 
 
+NBR_HI_BITS = 26
+
+
 class NbrIndex:
-    """Host-side container for the inverted neighborhood index."""
+    """Host-side container for the inverted neighborhood index.
 
-    def __init__(self, nkeys: np.ndarray, val: np.ndarray,
-                 positions: np.ndarray):
-        self.nkeys = nkeys          # uint32 sorted
-        self.val = val              # uint64: start(34)|cnt8<<40|ab<<48
-        self.positions = positions  # uint32 (int32-safe values)
+    Arrays are stored exactly as the device wants them (the packed-u64
+    form needs jax x64 and the split costs ~60 s of slow page faults at
+    load time on this host):
+      nkeys     uint32 sorted closure keys
+      val_start uint32 offset of each key's position run
+      val_meta  uint32 cnt_sat8 | abundant<<8
+      positions int32  merged ascending per key
+      hi_table  int32  (2^NBR_HI_BITS + 1) prefix counts over key>>6
+    """
 
-    @staticmethod
-    def pack_val(start: np.ndarray, cnt_sat: np.ndarray,
-                 abund: np.ndarray) -> np.ndarray:
-        return (start.astype(np.uint64)
-                | (cnt_sat.astype(np.uint64) << np.uint64(40))
-                | (abund.astype(np.uint64) << np.uint64(48)))
+    def __init__(self, nkeys, val_start, val_meta, positions, hi_table):
+        self.nkeys = nkeys
+        self.val_start = val_start
+        self.val_meta = val_meta
+        self.positions = positions
+        self.hi_table = hi_table
 
 
 def build_nbr_index(index: SeedIndex,
@@ -79,7 +86,8 @@ def build_nbr_index(index: SeedIndex,
     ne = len(keys)
     if ne == 0:
         z = np.zeros(0, np.uint32)
-        return NbrIndex(z, np.zeros(0, np.uint64), z.copy())
+        return NbrIndex(z, z.copy(), z.copy(), z.view(np.int32).copy(),
+                        np.zeros((1 << NBR_HI_BITS) + 1, np.int32))
     P = int(counts.sum())
     total = 49 * P
     if total > max_positions:
@@ -139,49 +147,70 @@ def build_nbr_index(index: SeedIndex,
         carry = int(ab_cum[hi])
 
     nkeys = hp_empty(nn, np.uint32)
-    val = hp_empty(nn, np.uint64)
+    val_start = hp_empty(nn, np.uint32)
+    val_meta = hp_empty(nn, np.uint32)
+    hi_counts = np.zeros(1 << NBR_HI_BITS, np.int64)
     for lo in range(0, nn, _CH):
         hi = min(lo + _CH, nn)
         gs = g_start[lo:hi]
         ge = np.empty(hi - lo, np.int64)
         ge[:-1] = g_start[lo + 1:hi]
         ge[-1] = g_start[hi] if hi < nn else total
-        nkeys[lo:hi] = (big[gs] >> np.uint64(31)).astype(np.uint32)
-        cnt_sat = np.minimum(ge - gs, 255)
-        g_ab = (ab_cum[ge] - ab_cum[gs]) > 0
-        val[lo:hi] = NbrIndex.pack_val(gs, cnt_sat, g_ab)
+        nk = (big[gs] >> np.uint64(31)).astype(np.uint32)
+        nkeys[lo:hi] = nk
+        val_start[lo:hi] = gs.astype(np.uint32)
+        cnt_sat = np.minimum(ge - gs, 255).astype(np.uint32)
+        g_ab = ((ab_cum[ge] - ab_cum[gs]) > 0).astype(np.uint32)
+        val_meta[lo:hi] = cnt_sat | (g_ab << np.uint32(8))
+        hi_counts += np.bincount(nk >> np.uint32(32 - NBR_HI_BITS),
+                                 minlength=1 << NBR_HI_BITS)
     del ab_cum, g_start
+    hi_table = np.zeros((1 << NBR_HI_BITS) + 1, np.int64)
+    np.cumsum(hi_counts, out=hi_table[1:])
 
-    out_pos = hp_empty(total, np.uint32)
+    out_pos = hp_empty(total, np.int32)
     for lo in range(0, total, _CH):
         hi = min(lo + _CH, total)
         out_pos[lo:hi] = ((big[lo:hi] >> np.uint64(1))
-                          & np.uint64((1 << 30) - 1)).astype(np.uint32)
+                          & np.uint64((1 << 30) - 1)).astype(np.int32)
     del big
-    return NbrIndex(nkeys, val, out_pos)
+    return NbrIndex(nkeys, val_start, val_meta, out_pos,
+                    hi_table.astype(np.int32))
 
 
-def _cache_path(basename: str) -> str:
-    return basename + ".nbx.npz"
+_PARTS = ("nkeys", "vstart", "vmeta", "pos", "hi")
+
+
+def _cache_paths(basename: str):
+    return {k: f"{basename}.nbx.{k}.npy" for k in _PARTS}
 
 
 def load_nbr_index(basename: str, index: SeedIndex,
                    max_positions: int = 1_500_000_000,
                    cache: bool = True) -> NbrIndex:
-    """Load (or build + disk-cache) the nbr index for ``basename``."""
-    p = _cache_path(basename)
+    """Load (or build + disk-cache) the nbr index for ``basename``.
+
+    Cached parts are raw .npy files opened with mmap_mode="r": no
+    anonymous-page zeroing, no zipfile streaming — the arrays go
+    straight from the page cache into the device transfer."""
+    ps = _cache_paths(basename)
     mdx = basename + ".mdx"
-    if cache and os.path.exists(p) and (
-            not os.path.exists(mdx)
-            or os.path.getmtime(p) >= os.path.getmtime(mdx)):
-        z = np.load(p)
-        if int(z["magic"]) == NBR_MAGIC:
-            return NbrIndex(z["nkeys"], z["val"], z["positions"])
+    fresh = cache and all(os.path.exists(p) for p in ps.values())
+    if fresh and os.path.exists(mdx):
+        fresh = all(os.path.getmtime(p) >= os.path.getmtime(mdx)
+                    for p in ps.values())
+    if fresh:
+        a = {k: np.load(p, mmap_mode="r") for k, p in ps.items()}
+        return NbrIndex(a["nkeys"], a["vstart"], a["vmeta"], a["pos"],
+                        a["hi"])
     nbr = build_nbr_index(index, max_positions=max_positions)
     if cache:
         try:
-            np.savez(p, magic=np.int64(NBR_MAGIC), nkeys=nbr.nkeys,
-                     val=nbr.val, positions=nbr.positions)
+            np.save(ps["nkeys"], nbr.nkeys)
+            np.save(ps["vstart"], nbr.val_start)
+            np.save(ps["vmeta"], nbr.val_meta)
+            np.save(ps["pos"], nbr.positions)
+            np.save(ps["hi"], nbr.hi_table)
         except OSError:
             pass
     return nbr

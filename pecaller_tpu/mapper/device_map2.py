@@ -44,7 +44,7 @@ import os
 import numpy as np
 
 from ..formats.index_files import SeedIndex
-from ..index.nbr import NbrIndex
+from ..index.nbr import NbrIndex, NBR_HI_BITS as NBR_HI_BITS_DEV
 from ..ops import sw2
 from ..ops.encode import BASE_BITS, _RC, IDEPTH
 from .engine import (MapperEngine, MISALIGN_SLOP,
@@ -57,7 +57,6 @@ PAD_SCORE = -36
 POS_PAD = np.int32(2 ** 30)
 HIT_CAP = 16
 INS_CAP = 2048
-NBR_HI_BITS_DEV = 26
 
 
 # --------------------------------------------------------------------------
@@ -118,25 +117,18 @@ class NbrDeviceIndex:
 
     def __init__(self, nbr: NbrIndex):
         import jax.numpy as jnp
-        nk = np.asarray(nbr.nkeys, dtype=np.uint32)
-        val = np.asarray(nbr.val, dtype=np.uint64)
-        self.n_keys = len(nk)
-        hi = (nk >> np.uint32(32 - NBR_HI_BITS_DEV)).astype(np.int64)
-        hc = np.bincount(hi, minlength=1 << NBR_HI_BITS_DEV)
-        ht = np.zeros((1 << NBR_HI_BITS_DEV) + 1, dtype=np.int64)
-        np.cumsum(hc, out=ht[1:])
-        self.max_subrange = int(hc.max()) if len(nk) else 1
+        ht = np.asarray(nbr.hi_table)
+        self.n_keys = len(nbr.nkeys)
+        sub = np.diff(ht)
+        self.max_subrange = int(sub.max()) if self.n_keys else 1
         self.n_steps = max(1, int(np.ceil(np.log2(
             max(self.max_subrange, 2)))) + 1)
-        self.nkeys = jnp.asarray(nk)
-        self.hi_table = jnp.asarray(ht.astype(np.int32))
-        # split u64 val into u32 halves (jax x64 stays off)
-        self.val_start = jnp.asarray(
-            (val & np.uint64((1 << 34) - 1)).astype(np.uint32))
-        self.val_meta = jnp.asarray(
-            (val >> np.uint64(40)).astype(np.uint32))   # cnt8 | abund<<8
-        self.positions = jnp.asarray(
-            np.asarray(nbr.positions, dtype=np.uint32).astype(np.int32))
+        # arrays arrive pre-split in device layout (possibly mmap'ed)
+        self.nkeys = jnp.asarray(nbr.nkeys)
+        self.hi_table = jnp.asarray(ht)
+        self.val_start = jnp.asarray(nbr.val_start)
+        self.val_meta = jnp.asarray(nbr.val_meta)
+        self.positions = jnp.asarray(nbr.positions)
 
 
 # --------------------------------------------------------------------------
