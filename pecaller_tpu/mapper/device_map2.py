@@ -487,6 +487,18 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         nm = unpack_mask(nw, M)
         return jnp.where(nm, jnp.uint8(sw2.XN), c)
 
+    # PECALLER_STAGE truncates the step for profiling: 1 seeds,
+    # 2 +compaction/windows, 3 +SW, 4 +decide, 5 +traceback, 6 full
+    STAGE = int(os.environ.get("PECALLER_STAGE", "6"))
+
+    def _stage_out(dev_counts, *xs):
+        acc = jnp.zeros((), jnp.int32)
+        for x in xs:
+            acc = acc + x.astype(jnp.int32).sum()
+        packed = jnp.zeros((B, 6), jnp.int32).at[0, 0].set(acc)
+        rec = jnp.zeros((ins_cap + 1, 4), jnp.int32)
+        return dev_counts, packed, rec
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(dev_counts, nkeys, val_start, val_meta, hi_table, positions,
              gcode, gmask, ist, st_pad,
@@ -505,6 +517,8 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         # units whose hits spill past H_CAP fall back (cap semantics)
         fb = pairize(fb | (jnp.cumsum(tot) > H_CAP))
         tot = jnp.where(fb, 0, tot)
+        if STAGE == 1:
+            return _stage_out(dev_counts, hits, hits_off, orient, tot, fb)
 
         # --- scatter-free slot compaction (two-level) ----------------------
         idxc = jnp.arange(CAP, dtype=jnp.int32)[None, :]
@@ -534,9 +548,14 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                         xn_f_w[rid_c])
         reads_s = unpack_reads(rw, rnw)
         rlens_s = jnp.where(slot_ok, lens_s, 1)
+        if STAGE == 2:
+            return _stage_out(dev_counts, refs_x, reads_s, start_s,
+                              blen_m, exo)
 
         score, bk, bi = sw_align(refs_x, blen_m, reads_s, rlens_s,
                                  bisulfite, N)
+        if STAGE == 3:
+            return _stage_out(dev_counts, score, bk, bi)
 
         score_pad = jnp.concatenate(
             [jnp.where(slot_ok, score, PAD_SCORE),
@@ -575,6 +594,9 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         orb_u = jnp.take_along_axis(orient, best_u[:, None],
                                     axis=1)[:, 0].astype(jnp.int32)
 
+        if STAGE == 4:
+            return _stage_out(dev_counts, code_out, best_u, use_u, m_u)
+
         # --- winner compaction + traceback --------------------------------
         wmask = use_u == 1
         wc = jnp.cumsum(wmask.astype(jnp.int32))
@@ -598,6 +620,8 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
 
         ev_kind, ins_j, ins_len = sw_traceback(
             refs_w, blen_w, reads_w, rlens_w, k_w, i_w, bisulfite, N)
+        if STAGE == 5:
+            return _stage_out(dev_counts, ev_kind, ins_j, ins_len)
 
         # --- pileup scatter (flat u32) -------------------------------------
         rowv = jnp.arange(N, dtype=jnp.int32)[None, :]
