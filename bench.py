@@ -98,14 +98,16 @@ def main():
     from pecaller_tpu.formats.sdx import read_sdx, read_seq
     from pecaller_tpu.formats.index_files import load_index
     from pecaller_tpu.formats.fastq import FastqBatcher
-    from pecaller_tpu.mapper.device_pipeline import FusedMapperEngine
+    from pecaller_tpu.index.nbr import load_nbr_index
+    from pecaller_tpu.mapper.device_map2 import FusedMapperEngine2
 
     sdx = read_sdx(os.path.join(d, "g.sdx"))
     genome = read_seq(os.path.join(d, "g.seq"), sdx.genome_size)
     index = load_index(os.path.join(d, "g"))
-    eng = FusedMapperEngine(sdx, genome, index, paired=True, min_align=0.9,
-                            min_dist=0, max_dist=500,
-                            nthreads=os.cpu_count() or 2)
+    nbr = load_nbr_index(os.path.join(d, "g"), index)
+    eng = FusedMapperEngine2(sdx, genome, index, nbr=nbr, paired=True,
+                             min_align=0.9, min_dist=0, max_dist=500,
+                             nthreads=os.cpu_count() or 2)
 
     batches = []
     batcher = FastqBatcher(os.path.join(d, "r1.fastq"),

@@ -47,7 +47,7 @@ NBR_MAGIC = 0x4E425232  # "NBR2"
 _CH = 1 << 23           # elements per streaming chunk
 
 
-NBR_HI_BITS = 26
+NBR_HI_BITS = 28
 
 
 class NbrIndex:

@@ -68,20 +68,30 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
     base = _strip_sdx(cfg.sdx_path)
     genome = read_seq(base + ".seq", sdx.genome_size)
     index = load_index(base)
+    kw = dict(bisulfite=cfg.bisulfite, min_align=cfg.min_align,
+              min_dist=cfg.min_dist, max_dist=cfg.max_dist,
+              paired=cfg.paired, nthreads=cfg.nthreads)
+    eng = None
     if cfg.device:
         if sdx.genome_size < 2**30:
-            # fully-fused on-device pipeline (one jit call per batch)
-            from .device_pipeline import FusedMapperEngine as _Eng
+            try:
+                # v2 fused pipeline: inverted nbr index (small genomes)
+                from ..index.nbr import load_nbr_index
+                from .device_map2 import FusedMapperEngine2
+                nbr = load_nbr_index(base, index)
+                eng = FusedMapperEngine2(sdx, genome, index, nbr=nbr,
+                                         **kw)
+            except ValueError:
+                # nbr expansion too large: v1 fused pipeline
+                from .device_pipeline import FusedMapperEngine
+                eng = FusedMapperEngine(sdx, genome, index, **kw)
         else:
             # int32 device coordinates overflow past 2^30 bases: keep
             # seeds on host, SW/traceback on device
-            from .device_engine import DeviceMapperEngine as _Eng
+            from .device_engine import DeviceMapperEngine
+            eng = DeviceMapperEngine(sdx, genome, index, **kw)
     else:
-        _Eng = MapperEngine
-    eng = _Eng(sdx, genome, index, bisulfite=cfg.bisulfite,
-                       min_align=cfg.min_align, min_dist=cfg.min_dist,
-                       max_dist=cfg.max_dist, paired=cfg.paired,
-                       nthreads=cfg.nthreads)
+        eng = MapperEngine(sdx, genome, index, **kw)
     tot_pairs = 0
     order_base = 0
     cur_base = cfg.out_base
