@@ -127,7 +127,7 @@ def main():
     for s1, l1, s2, l2, nos in batches:
         pend.append(eng.map_batch_async(s1, l1, s2, l2, read_nos=nos))
         total += 2 * len(l1)
-        if len(pend) >= 3:
+        if len(pend) >= 5:
             eng.resolve(pend.pop(0))
     while pend:
         eng.resolve(pend.pop(0))

@@ -534,10 +534,53 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             return jnp.concatenate([fbp, fbp])
         return fb_u
 
-    def unpack_reads(cw, nw):
-        c = unpack_codes(cw, M)
-        nm = unpack_mask(nw, M)
-        return jnp.where(nm, jnp.uint8(sw2.XN), c)
+    PW4 = (M + 7) // 8
+
+    def pack4_dev(x):
+        """(U, M) xcodes (0-4) -> (U, PW4) uint32, 4 bits per base —
+        packed read rows make the per-slot row gathers 8x narrower."""
+        pad = PW4 * 8 - M
+        c = jnp.pad(x.astype(jnp.uint32), ((0, 0), (0, pad)))
+        sh = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :]
+        return (c.reshape(x.shape[0], PW4, 8) << sh).sum(
+            axis=2, dtype=jnp.uint32)
+
+    def unpack4(words, n_out):
+        sh = (jnp.arange(8, dtype=jnp.uint32) * 4)
+        b = (words[..., :, None] >> sh) & 15
+        return b.reshape(*words.shape[:-1],
+                         words.shape[-1] * 8)[..., :n_out].astype(jnp.uint8)
+
+    def prep_reads_dev(seqs, lens):
+        """Raw ASCII reads -> xcodes for both orientations + packed
+        words + N-heavy skip + exotic flag, all on device (host prep was
+        ~65 ms/batch of the loop's serial time)."""
+        isC = seqs == ord("C")
+        isG = seqs == ord("G")
+        isT = seqs == ord("T")
+        isA = seqs == ord("A")
+        isn = seqs == ord("N")
+        inlen = jnp.arange(M)[None, :] < lens[:, None]
+        code = (isC * 1 + isG * 2 + isT * 3).astype(jnp.uint8)
+        xf = jnp.where(isn & inlen, jnp.uint8(sw2.XN), code)
+        exotic = ((~(isA | isC | isG | isT | isn)) & inlen &
+                  (seqs != 0)).any(axis=1)
+        n_count = (isn & inlen).sum(axis=1)
+        skip = (n_count >= 1 + lens // 10).astype(jnp.int32)
+        # reverse-complement: flip, complement, then roll the pad out
+        # front via log-composed shifts (per-lane variable roll)
+        flip = xf[:, ::-1]
+        comp = jnp.where(flip == sw2.XN, jnp.uint8(sw2.XN),
+                         jnp.uint8(3) - flip)
+        sh_amt = (M - lens).astype(jnp.int32)
+        xr = comp
+        k = 1
+        while k < M:
+            rolled = jnp.roll(xr, -k, axis=1)
+            xr = jnp.where((sh_amt[:, None] & k) != 0, rolled, xr)
+            k *= 2
+        xr = jnp.where(inlen, xr, jnp.uint8(0))
+        return xf, xr, skip, exotic
 
     # PECALLER_STAGE truncates the step for profiling: 1 seeds,
     # 2 +compaction/windows, 3 +SW, 4 +decide, 5 +traceback, 6 full
@@ -547,24 +590,25 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         acc = jnp.zeros((), jnp.int32)
         for x in xs:
             acc = acc + x.astype(jnp.int32).sum()
-        packed = jnp.zeros((B, 6), jnp.int32).at[0, 0].set(acc)
-        rec = jnp.zeros((ins_cap + 1, 4), jnp.int32)
-        return dev_counts, packed, rec
+        out = jnp.zeros((B + ins_cap + 1, 6), jnp.int32).at[0, 0].set(acc)
+        return dev_counts, out
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(dev_counts, nkeys, val_start, val_meta, hi_table, positions,
              gcode, gmask, ist, st_pad,
-             xc_f_w, xn_f_w, xc_r_w, xn_r_w,
-             lens, offsets, n_segs, mm0, skip, thr, fb_host):
+             seqs_u, lens, offsets, n_segs, mm0, thr, fb_pad):
         """All (U, ...) unit-major inputs (end-major: end1 rows then
-        end2).  Returns (dev_counts, packed (B, 6), rec)."""
-        xf = unpack_reads(xc_f_w, xn_f_w)
-        xr = unpack_reads(xc_r_w, xn_r_w)
+        end2).  Returns (dev_counts, out (B+ins_cap+1, 6) int32: rows
+        [:B] = [m1, m2, code, orb1, orb2, fb]; rows [B:] = insertion
+        records [unit, gpos, jstart, len, n_ins-tail-marker])."""
+        xf, xr, skip, exotic = prep_reads_dev(seqs_u, lens)
+        x4f_w = pack4_dev(xf)
+        x4r_w = pack4_dev(xr)
 
         hits, hits_off, orient, tot, fb = seed_nbr(
             nkeys, val_start, val_meta, hi_table, positions,
             xf, xr, offsets, n_segs, mm0, skip)
-        fb = pairize(fb | fb_host)
+        fb = pairize(fb | fb_pad | exotic)
         tot = jnp.where(fb, 0, tot)
         # units whose hits spill past H_CAP fall back (cap semantics)
         fb = pairize(fb | (jnp.cumsum(tot) > H_CAP))
@@ -594,11 +638,9 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         refs_x, exo = fetch_windows(gcode, gmask, start_s, blen_m)
         ors_s = orient[rid_c, hid_s]
         # packed-word row gathers, then unpack (byte-wise row gathers
-        # cost ~8 ns/elem; word-wise are 16x fewer elements)
-        rw = jnp.where(ors_s[:, None] == 1, xc_r_w[rid_c], xc_f_w[rid_c])
-        rnw = jnp.where(ors_s[:, None] == 1, xn_r_w[rid_c],
-                        xn_f_w[rid_c])
-        reads_s = unpack_reads(rw, rnw)
+        # cost ~8 ns/elem; word-wise are 8x fewer elements)
+        rw = jnp.where(ors_s[:, None] == 1, x4r_w[rid_c], x4f_w[rid_c])
+        reads_s = unpack4(rw, M)
         rlens_s = jnp.where(slot_ok, lens_s, 1)
         if STAGE == 2:
             return _stage_out(dev_counts, refs_x, reads_s, start_s,
@@ -664,9 +706,8 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         k_w = jnp.where(w_ok, bk[slot_w], 0)
         i_w = jnp.where(w_ok, bi[slot_w], 0)
         orw = orb_u[uw]
-        rww = jnp.where(orw[:, None] == 1, xc_r_w[uw], xc_f_w[uw])
-        rnww = jnp.where(orw[:, None] == 1, xn_r_w[uw], xn_f_w[uw])
-        reads_w = unpack_reads(rww, rnww)
+        rww = jnp.where(orw[:, None] == 1, x4r_w[uw], x4f_w[uw])
+        reads_w = unpack4(rww, M)
         rlens_w = jnp.where(w_ok, lens[uw].astype(jnp.int32), 1)
         refs_w, _ = fetch_windows(gcode, gmask, start_w, blen_w)
 
@@ -700,14 +741,21 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         dev_counts = dev_counts.at[
             jnp.where(i_ok, ipos * 6 + 5, 0)].add(
             i_ok.astype(jnp.uint32), mode="drop")
+        zc = jnp.zeros(ins_cap + 1, jnp.int32)
+
+        def _pad1(x, tail):
+            return jnp.concatenate([x, jnp.full((1,), tail, jnp.int32)])
+
         rec = jnp.stack([
-            jnp.where(i_ok, uw[iu], -1),
-            jnp.where(i_ok, ipos, -1),
-            jnp.where(i_ok, ins_j.reshape(-1)[isrc].astype(jnp.int32), -1),
-            jnp.where(i_ok, ins_len.reshape(-1)[isrc].astype(jnp.int32),
-                      0)], axis=1)
-        rec = jnp.concatenate(
-            [rec, jnp.stack([n_ins, 0, 0, 0])[None]], axis=0)
+            _pad1(jnp.where(i_ok, uw[iu], -1), 0).at[ins_cap].set(n_ins),
+            _pad1(jnp.where(i_ok, ipos, -1), 0),
+            _pad1(jnp.where(i_ok,
+                            ins_j.reshape(-1)[isrc].astype(jnp.int32),
+                            -1), 0),
+            _pad1(jnp.where(i_ok,
+                            ins_len.reshape(-1)[isrc].astype(jnp.int32),
+                            0), 0),
+            zc, zc], axis=1)
 
         if paired:
             packed = jnp.stack(
@@ -718,7 +766,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             packed = jnp.stack(
                 [m_u, jnp.zeros(B, jnp.int32), code_out, orb_u,
                  jnp.zeros(B, jnp.int32), fb.astype(jnp.int32)], axis=1)
-        return dev_counts, packed, rec
+        return dev_counts, jnp.concatenate([packed, rec], axis=0)
 
     return step
 
@@ -796,37 +844,24 @@ class FusedMapperEngine2(MapperEngine):
         return self._fns[key]
 
     def _prep_end2(self, seqs, lens, B, M, s_max):
-        """Pack one end's reads: codes/N-mask words for both
-        orientations + per-read metadata."""
+        """Light host prep: pad the raw reads + per-read scalars (all
+        encoding/rev-comp/packing happens on device)."""
         n = seqs.shape[0]
         seqs_p = np.zeros((B, M), dtype=np.uint8)
         seqs_p[:n, :min(M, seqs.shape[1])] = seqs[:, :M]
         lens_p = np.full(B, 16, np.int32)
         lens_p[:n] = lens
-        idx = lens_p[:, None].astype(np.int64) - 1 - np.arange(M)[None, :]
-        rev = np.where(idx >= 0,
-                       _RC[seqs_p[np.arange(B)[:, None],
-                                  np.clip(idx, 0, M - 1)]],
-                       0).astype(np.uint8)
-        inlen = np.arange(M)[None, :] < lens_p[:, None]
-        exotic = (_EXOTIC[seqs_p] & inlen).any(axis=1)
-        cf = pack2(_CODE_TAB[seqs_p])
-        cr = pack2(_CODE_TAB[rev])
-        nf = pack_mask((seqs_p == ord("N")) & inlen)
-        nr = pack_mask((rev == ord("N")) & inlen)
-        n_count = (seqs == ord("N")).sum(axis=1)
-        skip = np.ones(B, np.int32)
-        skip[:n] = (n_count >= 1 + lens // 10).astype(np.int32)
+        fb_pad = np.zeros(B, bool)
+        fb_pad[n:] = True
         n_segs, offs = segment_offsets(lens_p.astype(np.int64))
         tc = n_segs - 1
         mm0 = np.minimum(np.maximum(1, tc), 4)
         over4 = tc > 4
         mm0[over4] = np.minimum((4 * tc[over4]) // 5, 4)
         thr = exact_score_threshold(lens_p, self.min_align)
-        return (cf, nf, cr, nr, lens_p,
-                offs[:, :s_max].astype(np.int32),
-                n_segs.astype(np.int32), mm0.astype(np.int32), skip, thr,
-                exotic)
+        return (seqs_p, lens_p, offs[:, :s_max].astype(np.int32),
+                n_segs.astype(np.int32), mm0.astype(np.int32), thr,
+                fb_pad)
 
     def _seg_bucket(self, s_needed):
         for b in (8, 12, 20):
@@ -854,22 +889,23 @@ class FusedMapperEngine2(MapperEngine):
                    for x, y in zip(a1, a2)]
         else:
             ins = list(a1)
-        (cf, nf, cr, nr, lens_u, offs, nsg, mm0, skip, thr, exo) = ins
+        (seqs_u, lens_u, offs, nsg, mm0, thr, fb_pad) = ins
         d = self._dnbr
-        self.dev_counts, packed, rec = fn(
+        self.dev_counts, out = fn(
             self.dev_counts, d.nkeys, d.val_start, d.val_meta,
             d.hi_table, d.positions, self._gcode, self._gmask,
             self._ist_dev, self._st_pad_dev,
-            cf, nf, cr, nr, lens_u, offs, nsg, mm0, skip, thr,
-            exo)
-        return dict(packed=packed, rec=rec,
+            seqs_u, lens_u, offs, nsg, mm0, thr, fb_pad)
+        return dict(out=out,
                     seqs1=seqs1, lens1=lens1, seqs2=seqs2, lens2=lens2,
                     read_nos=read_nos, n=seqs1.shape[0], B=B)
 
     def resolve(self, h):
-        packed = np.asarray(h["packed"])
+        out = np.asarray(h["out"])
         n = h["n"]
         B = h["B"]
+        packed = out[:B]
+        rec = out[B:, :4]
         m1 = packed[:n, 0].astype(np.uint32)
         m2 = packed[:n, 1].astype(np.uint32)
         code = packed[:n, 2].astype(np.int32)
@@ -880,7 +916,6 @@ class FusedMapperEngine2(MapperEngine):
         seqs1, lens1 = h["seqs1"], h["lens1"]
         seqs2, lens2 = h["seqs2"], h["lens2"]
 
-        rec = np.asarray(h["rec"])
         n_ins = int(rec[-1, 0])
         if n_ins > rec.shape[0] - 1:
             raise RuntimeError("insertion record cap exceeded; raise "
