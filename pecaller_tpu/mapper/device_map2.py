@@ -403,9 +403,18 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         acc = accepted.reshape(U, F)
         dg = diag.reshape(U, F)
         posf = pos.reshape(U, F)
-        tri = (jnp.arange(F)[:, None] < jnp.arange(F)[None, :])  # p < q
-        dup = ((dg[:, :, None] == dg[:, None, :]) & acc[:, :, None]
-               & tri[None]).any(axis=1)
+        # pairwise first-occurrence dedup, chunked over the q axis to
+        # bound the (U, F, QC) intermediate
+        QC = 64
+        dup_parts = []
+        for q0 in range(0, F, QC):
+            q1 = q0 + QC
+            tri = (jnp.arange(F)[:, None] <
+                   jnp.arange(q0, q1)[None, :])          # p < q
+            dup_parts.append(
+                ((dg[:, :, None] == dg[:, None, q0:q1]) & acc[:, :, None]
+                 & tri[None]).any(axis=1))
+        dup = jnp.concatenate(dup_parts, axis=1)
         keep = acc & ~dup
         n_keep = keep.sum(axis=1)
         if SSTAGE == 15:
