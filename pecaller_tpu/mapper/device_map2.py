@@ -139,7 +139,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                       n_contigs: int, genome_size: int,
                       B: int, M: int, N: int, s_max: int,
                       seg_cap: int = 16, ins_cap: int = INS_CAP,
-                      h_factor: int = 2):
+                      h_factor: float = 1.5):
     import jax
     import jax.numpy as jnp
 
@@ -147,7 +147,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
     S = s_max
     CAP = HIT_CAP
     F = 2 * S * seg_cap                      # per-unit anchor space
-    H_CAP = h_factor * U
+    H_CAP = ((int(h_factor * U) + 255) // 256) * 256
     PW = (M + 15) // 16                      # packed read words
     NW = N // 16 + 2                         # packed window words
     R_ROWS = min(N, M + 2 * MISALIGN_SLOP + 1)   # max usable DP rows
