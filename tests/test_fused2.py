@@ -81,3 +81,55 @@ def test_fused2_single_end(data):
     p_ref = e_ref.final_pileup().astype(np.int64)
     p_fus = e_fus.final_pileup().astype(np.int64)
     assert np.array_equal(p_ref.sum(0), p_fus.sum(0))
+
+
+def test_fused2_bisulfite(data, tmp_path):
+    """Bisulfite mode: C->T converted keys + asymmetric SW match rule
+    (ref C ~ read T) through the whole v2 device pipeline."""
+    import numpy as np
+    from pecaller_tpu.formats.fastq import FastqBatcher
+    from pecaller_tpu.formats.sdx import read_sdx, read_seq
+    from pecaller_tpu.index import build_index
+    from pecaller_tpu.formats.index_files import load_index
+    from pecaller_tpu.mapper.engine import MapperEngine
+    from pecaller_tpu.mapper.device_map2 import FusedMapperEngine2
+
+    rng = np.random.default_rng(77)
+    names, seqs = make_genome(rng, [20000])
+    fa = str(tmp_path / "b.fa")
+    write_fasta(fa, names, seqs)
+    build_index(fa, str(tmp_path / "b"), bisulfite=True, write_idx=False)
+    reads = sample_reads(rng, names, seqs, 400, read_len=100,
+                         err_rate=0.01, paired=True, insert_lo=150,
+                         insert_hi=400, indel_rate=0.05, max_indel=3)
+    # simulate bisulfite conversion: most C's read as T
+    conv = []
+    for r1, r2, info in reads:
+        def cv(s):
+            s = s.copy()
+            m = (s == ord("C")) & (rng.random(len(s)) < 0.8)
+            s[m] = ord("T")
+            return s
+        conv.append((cv(r1), cv(r2), info))
+    reads = conv
+    write_fastq(str(tmp_path / "b1.fastq"), reads, which=0)
+    write_fastq(str(tmp_path / "b2.fastq"), reads, which=1)
+
+    sdx = read_sdx(str(tmp_path / "b.sdx"))
+    genome = read_seq(str(tmp_path / "b.seq"), sdx.genome_size)
+    index = load_index(str(tmp_path / "b"))
+    kw = dict(paired=True, min_align=0.9, min_dist=0, max_dist=500,
+              bisulfite=True, nthreads=2)
+    e_ref = MapperEngine(sdx, genome, index, **kw)
+    e_fus = FusedMapperEngine2(sdx, genome, index, **kw)
+    for s1, l1, s2, l2, nos in FastqBatcher(
+            str(tmp_path / "b1.fastq"), str(tmp_path / "b2.fastq"),
+            batch_size=400).batches():
+        rm1, rm2, rc = e_ref.map_batch(s1, l1, s2, l2, read_nos=nos)
+        fm1, fm2, fc = e_fus.map_batch(s1, l1, s2, l2, read_nos=nos)
+        assert np.array_equal(rc, fc)
+        assert np.array_equal(rm1, fm1)
+        assert np.array_equal(rm2, fm2)
+    p_ref = e_ref.final_pileup().astype(np.int64)
+    p_fus = e_fus.final_pileup().astype(np.int64)
+    assert np.array_equal(p_ref.sum(0), p_fus.sum(0))
