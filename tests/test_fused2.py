@@ -133,3 +133,44 @@ def test_fused2_bisulfite(data, tmp_path):
     p_ref = e_ref.final_pileup().astype(np.int64)
     p_fus = e_fus.final_pileup().astype(np.int64)
     assert np.array_equal(p_ref.sum(0), p_fus.sum(0))
+
+
+def test_runner_device_engine_selection(data, tmp_path):
+    """run_mapper(device=True) selects the v2 fused engine for small
+    genomes and produces artifacts equivalent to the host path."""
+    import gzip
+    import numpy as np
+    from pecaller_tpu.mapper.runner import MapperConfig, run_mapper, \
+        write_outputs
+    from pecaller_tpu.formats.sdx import read_sdx, read_seq
+    from pecaller_tpu.mapper.device_map2 import FusedMapperEngine2
+
+    sdx = read_sdx(str(data / "g.sdx"))
+    genome = read_seq(str(data / "g.seq"), sdx.genome_size)
+    outs = {}
+    for dev in (False, True):
+        base = str(tmp_path / ("dev" if dev else "host"))
+        cfg = MapperConfig(out_base=base, sdx_path=str(data / "g.sdx"),
+                           paired=True, files1=[str(data / "r1.fastq")],
+                           files2=[str(data / "r2.fastq")],
+                           max_dist=500, min_dist=0, batch_size=600,
+                           device=dev, nthreads=2)
+        eng = run_mapper(cfg)
+        if dev:
+            assert isinstance(eng, FusedMapperEngine2)
+        write_outputs(cfg, eng, sdx, genome, 900)
+        with gzip.open(base + ".pileup.gz", "rb") as f:
+            pile = f.read()
+        with open(base + ".summary.txt", "rb") as f:
+            summ = f.read()
+        outs[dev] = (pile, summ)
+    # decision-layer artifacts must agree; pileup bytes may differ only
+    # at exact-score-tie indel placements (counts conserved)
+    assert outs[False][1] == outs[True][1]
+    if outs[False][0] != outs[True][0]:
+        import numpy as np
+        a = np.frombuffer(outs[False][0], np.uint8)
+        b = np.frombuffer(outs[True][0], np.uint8)
+        assert len(a) == len(b)
+        frac = (a != b).mean()
+        assert frac < 0.02, frac
