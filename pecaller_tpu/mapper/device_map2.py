@@ -43,10 +43,9 @@ import os
 
 import numpy as np
 
-from ..formats.index_files import SeedIndex
 from ..index.nbr import NbrIndex, NBR_HI_BITS as NBR_HI_BITS_DEV
 from ..ops import sw2
-from ..ops.encode import BASE_BITS, _RC, IDEPTH
+from ..ops.encode import IDEPTH
 from .engine import (MapperEngine, MISALIGN_SLOP,
                      UNIQUE_MATE, UNIQUE_SLIP, UNIQUE_SINGLE, UNIQUE_MIS,
                      NON_MATE, NON_MIS, NON_NO, NEITHER_MAP)
@@ -69,28 +68,6 @@ _CODE_TAB[ord("N")] = sw2.XN
 _EXOTIC = np.ones(256, dtype=bool)
 for _c in b"ACGTN":
     _EXOTIC[_c] = False
-
-
-def pack2(codes: np.ndarray) -> np.ndarray:
-    """(B, M) uint8 2-bit codes -> (B, ceil(M/16)) uint32, LSB-first."""
-    B, M = codes.shape
-    PW = (M + 15) // 16
-    padded = np.zeros((B, PW * 16), dtype=np.uint32)
-    padded[:, :M] = codes & 3
-    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
-    return (padded.reshape(B, PW, 16) << shifts).sum(
-        axis=2, dtype=np.uint32)
-
-
-def pack_mask(mask: np.ndarray) -> np.ndarray:
-    """(B, M) bool -> (B, ceil(M/32)) uint32 bitmask, LSB-first."""
-    B, M = mask.shape
-    PW = (M + 31) // 32
-    padded = np.zeros((B, PW * 32), dtype=np.uint32)
-    padded[:, :M] = mask
-    shifts = np.arange(32, dtype=np.uint32)[None, None, :]
-    return (padded.reshape(B, PW, 32) << shifts).sum(
-        axis=2, dtype=np.uint32)
 
 
 def pack_genome(genome: np.ndarray):
@@ -168,12 +145,6 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         b = (words[..., :, None] >> sh) & 3
         return b.reshape(*words.shape[:-1],
                          words.shape[-1] * 16)[..., :n_out].astype(jnp.uint8)
-
-    def unpack_mask(words, n_out):
-        sh = jnp.arange(32, dtype=jnp.uint32)
-        b = (words[..., :, None] >> sh) & 1
-        return (b.reshape(*words.shape[:-1], words.shape[-1] * 32)
-                [..., :n_out]).astype(jnp.bool_)
 
     def vsearch_ge(csum, targets, steps):
         """Smallest idx with csum[idx] >= target (csum ascending,
