@@ -57,16 +57,17 @@ class NbrIndex:
     form needs jax x64 and the split costs ~60 s of slow page faults at
     load time on this host):
       nkeys     uint32 sorted closure keys
-      val_start uint32 offset of each key's position run
-      val_meta  uint32 cnt_sat8 | abundant<<8
+      val_start uint32 offset of each key's position run, with the
+                "abundant constituent" flag in bit 31; counts come from
+                the NEXT key's start (runs are contiguous), so there is
+                no separate count array
       positions int32  merged ascending per key
       hi_table  int32  (2^NBR_HI_BITS + 1) prefix counts over key>>6
     """
 
-    def __init__(self, nkeys, val_start, val_meta, positions, hi_table):
+    def __init__(self, nkeys, val_start, positions, hi_table):
         self.nkeys = nkeys
         self.val_start = val_start
-        self.val_meta = val_meta
         self.positions = positions
         self.hi_table = hi_table
 
@@ -86,7 +87,7 @@ def build_nbr_index(index: SeedIndex,
     ne = len(keys)
     if ne == 0:
         z = np.zeros(0, np.uint32)
-        return NbrIndex(z, z.copy(), z.copy(), z.view(np.int32).copy(),
+        return NbrIndex(z, np.zeros(1, np.uint32), z.view(np.int32).copy(),
                         np.zeros((1 << NBR_HI_BITS) + 1, np.int32))
     P = int(counts.sum())
     total = 49 * P
@@ -147,8 +148,10 @@ def build_nbr_index(index: SeedIndex,
         carry = int(ab_cum[hi])
 
     nkeys = hp_empty(nn, np.uint32)
-    val_start = hp_empty(nn, np.uint32)
-    val_meta = hp_empty(nn, np.uint32)
+    # val_start has nn+1 entries: entry i+1's start delimits run i, so
+    # counts need no array of their own (abundance flag rides bit 31)
+    val_start = hp_empty(nn + 1, np.uint32)
+    val_start[nn] = total
     hi_counts = np.zeros(1 << NBR_HI_BITS, np.int64)
     for lo in range(0, nn, _CH):
         hi = min(lo + _CH, nn)
@@ -158,10 +161,8 @@ def build_nbr_index(index: SeedIndex,
         ge[-1] = g_start[hi] if hi < nn else total
         nk = (big[gs] >> np.uint64(31)).astype(np.uint32)
         nkeys[lo:hi] = nk
-        val_start[lo:hi] = gs.astype(np.uint32)
-        cnt_sat = np.minimum(ge - gs, 255).astype(np.uint32)
         g_ab = ((ab_cum[ge] - ab_cum[gs]) > 0).astype(np.uint32)
-        val_meta[lo:hi] = cnt_sat | (g_ab << np.uint32(8))
+        val_start[lo:hi] = gs.astype(np.uint32) | (g_ab << np.uint32(31))
         hi_counts += np.bincount(nk >> np.uint32(32 - NBR_HI_BITS),
                                  minlength=1 << NBR_HI_BITS)
     del ab_cum, g_start
@@ -174,11 +175,11 @@ def build_nbr_index(index: SeedIndex,
         out_pos[lo:hi] = ((big[lo:hi] >> np.uint64(1))
                           & np.uint64((1 << 30) - 1)).astype(np.int32)
     del big
-    return NbrIndex(nkeys, val_start, val_meta, out_pos,
+    return NbrIndex(nkeys, val_start, out_pos,
                     hi_table.astype(np.int32))
 
 
-_PARTS = ("nkeys", "vstart", "vmeta", "pos", "hi")
+_PARTS = ("nkeys", "vstart", "pos", "hi")
 
 
 def _cache_paths(basename: str):
@@ -201,14 +202,12 @@ def load_nbr_index(basename: str, index: SeedIndex,
                     for p in ps.values())
     if fresh:
         a = {k: np.load(p, mmap_mode="r") for k, p in ps.items()}
-        return NbrIndex(a["nkeys"], a["vstart"], a["vmeta"], a["pos"],
-                        a["hi"])
+        return NbrIndex(a["nkeys"], a["vstart"], a["pos"], a["hi"])
     nbr = build_nbr_index(index, max_positions=max_positions)
     if cache:
         try:
             np.save(ps["nkeys"], nbr.nkeys)
             np.save(ps["vstart"], nbr.val_start)
-            np.save(ps["vmeta"], nbr.val_meta)
             np.save(ps["pos"], nbr.positions)
             np.save(ps["hi"], nbr.hi_table)
         except OSError:

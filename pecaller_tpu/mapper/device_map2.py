@@ -103,8 +103,7 @@ class NbrDeviceIndex:
         # arrays arrive pre-split in device layout (possibly mmap'ed)
         self.nkeys = jnp.asarray(nbr.nkeys)
         self.hi_table = jnp.asarray(ht)
-        self.val_start = jnp.asarray(nbr.val_start)
-        self.val_meta = jnp.asarray(nbr.val_meta)
+        self.val_start = jnp.asarray(nbr.val_start)   # nn+1, ab<<31
         self.positions = jnp.asarray(nbr.positions)
 
 
@@ -253,7 +252,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                 jnp.zeros((U, CAP), jnp.int8), jnp.zeros(U, jnp.int32),
                 jnp.zeros(U, bool))
 
-    def seed_nbr(nkeys, val_start, val_meta, hi_table, positions,
+    def seed_nbr(nkeys, val_start, hi_table, positions,
                  xcode_f, xcode_r, offsets, n_segs, min_match0, skip):
         """(U, ...) unit-major seed probing + chaining.  Semantics match
         device_seeds.seed_chain_core (itself pemapper.c:1539-1690 /
@@ -283,10 +282,14 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             hi_end = jnp.where(cont & ~pred, mid, hi_end)
         idx = jnp.clip(lo, 0, max(n_keys - 1, 0))
         present = (nkeys[idx] == keys2) & (n_keys > 0)
-        start = jnp.where(present, val_start[idx], 0).astype(jnp.int32)
-        meta = jnp.where(present, val_meta[idx], 0)
-        cnt_sat = (meta & 255).astype(jnp.int32)       # saturates at 255
-        abund = (meta >> 8) & 1
+        v0 = val_start[idx]
+        v1 = val_start[idx + 1]
+        mask31 = jnp.uint32((1 << 31) - 1)
+        start = jnp.where(present, v0 & mask31, 0).astype(jnp.int32)
+        cnt_exact = jnp.where(
+            present, (v1 & mask31).astype(jnp.int32) - start, 0)
+        cnt_sat = jnp.minimum(cnt_exact, 255)          # decisions only
+        abund = jnp.where(present, v0 >> 31, 0)
         if SSTAGE == 12:
             return _seed_dummy(start, cnt_sat, abund.astype(jnp.int32))
 
@@ -574,7 +577,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         return dev_counts, out
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(dev_counts, nkeys, val_start, val_meta, hi_table, positions,
+    def step(dev_counts, nkeys, val_start, hi_table, positions,
              gcode, gmask, ist, st_pad,
              seqs_u, lens, offsets, n_segs, mm0, thr, fb_pad):
         """All (U, ...) unit-major inputs (end-major: end1 rows then
@@ -586,7 +589,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         x4r_w = pack4_dev(xr)
 
         hits, hits_off, orient, tot, fb = seed_nbr(
-            nkeys, val_start, val_meta, hi_table, positions,
+            nkeys, val_start, hi_table, positions,
             xf, xr, offsets, n_segs, mm0, skip)
         fb = pairize(fb | fb_pad | exotic)
         tot = jnp.where(fb, 0, tot)
@@ -872,7 +875,7 @@ class FusedMapperEngine2(MapperEngine):
         (seqs_u, lens_u, offs, nsg, mm0, thr, fb_pad) = ins
         d = self._dnbr
         self.dev_counts, out = fn(
-            self.dev_counts, d.nkeys, d.val_start, d.val_meta,
+            self.dev_counts, d.nkeys, d.val_start,
             d.hi_table, d.positions, self._gcode, self._gmask,
             self._ist_dev, self._st_pad_dev,
             seqs_u, lens_u, offs, nsg, mm0, thr, fb_pad)
