@@ -111,7 +111,7 @@ def main():
 
     batches = []
     batcher = FastqBatcher(os.path.join(d, "r1.fastq"),
-                           os.path.join(d, "r2.fastq"), batch_size=8192)
+                           os.path.join(d, "r2.fastq"), batch_size=16384)
     for b in batcher.batches():
         batches.append(b)
 
