@@ -115,7 +115,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                       n_contigs: int, genome_size: int,
                       B: int, M: int, N: int, s_max: int,
                       seg_cap: int = 16, ins_cap: int = INS_CAP,
-                      h_factor: float = 1.5):
+                      h_factor: float = 1.5, jit: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -576,7 +576,6 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         out = jnp.zeros((B + ins_cap + 1, 6), jnp.int32).at[0, 0].set(acc)
         return dev_counts, out
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(dev_counts, nkeys, val_start, hi_table, positions,
              gcode, gmask, ist, st_pad,
              seqs_u, lens, offsets, n_segs, mm0, thr, fb_pad):
@@ -751,6 +750,8 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                  jnp.zeros(B, jnp.int32), fb.astype(jnp.int32)], axis=1)
         return dev_counts, jnp.concatenate([packed, rec], axis=0)
 
+    if jit:
+        return jax.jit(step, donate_argnums=(0,))
     return step
 
 

@@ -69,6 +69,75 @@ def sharded_map_step(mesh: Mesh, genome_size: int, bisulfite: bool = False):
     return jax.jit(step)
 
 
+def shard_units(arr, n_shards: int, B: int, paired: bool):
+    """Split a (U, ...) end-major batch into (n_shards, U_local, ...)
+    keeping both ends of each pair on the same shard (decide_pair needs
+    them together).  For paired input U = 2B rows [end1 | end2]."""
+    import numpy as np
+    if not paired:
+        return np.ascontiguousarray(
+            arr.reshape(n_shards, B // n_shards, *arr.shape[1:]))
+    bl = B // n_shards
+    a = arr.reshape(2, n_shards, bl, *arr.shape[1:])
+    return np.ascontiguousarray(
+        a.transpose(1, 0, *range(2, a.ndim)).reshape(
+            n_shards, 2 * bl, *arr.shape[1:]))
+
+
+def sharded_fused_step2(mesh: Mesh, dnbr, *, paired: bool,
+                        bisulfite: bool, min_dist: int, max_dist: int,
+                        n_contigs: int, genome_size: int,
+                        B: int, M: int, N: int, s_max: int):
+    """The full v2 fused mapping step sharded over every mesh device.
+
+    Reads are the data axis (the reference's per-directory SGE fan-out,
+    map_directory_array.pl:101, becomes one mesh program): each shard
+    runs the complete seed→chain→SW→decide→traceback pipeline on its
+    B/n_shards pairs and accumulates into its own pileup partial row of
+    a (n_shards, genome_size*6) tensor; the per-run reduction over
+    shards happens once at pileup download (psum would burn ICI every
+    batch for a once-per-run artifact).
+
+    Returns (step, n_shards).  Step signature matches the single-chip
+    fused step except every per-batch array carries a leading
+    (n_shards,) axis (see ``shard_units``) and dev_counts is
+    (n_shards, genome_size*6) uint32, donated.
+    """
+    from ..mapper.device_map2 import build_fused_step2
+    from jax.experimental.shard_map import shard_map
+
+    axes = ("reads", "genome")
+    n_shards = mesh.shape["reads"] * mesh.shape["genome"]
+    if B % n_shards:
+        raise ValueError(f"B={B} must divide by n_shards={n_shards}")
+    raw = build_fused_step2(
+        dnbr, paired=paired, bisulfite=bisulfite, min_dist=min_dist,
+        max_dist=max_dist, n_contigs=n_contigs, genome_size=genome_size,
+        B=B // n_shards, M=M, N=N, s_max=s_max, jit=False)
+
+    def local(dev_counts, nkeys, val_start, hi_table, positions,
+              gcode, gmask, ist, st_pad,
+              seqs_u, lens, offsets, n_segs, mm0, thr, fb_pad):
+        dc, out = raw(dev_counts[0], nkeys, val_start, hi_table,
+                      positions, gcode, gmask, ist, st_pad,
+                      seqs_u[0], lens[0], offsets[0], n_segs[0],
+                      mm0[0], thr[0], fb_pad[0])
+        return dc[None], out[None]
+
+    rep = [P(*([None] * k)) for k in range(4)]
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axes, None),                      # dev_counts
+                  rep[1], rep[1], rep[1], rep[1],     # nbr index
+                  rep[1], rep[1], rep[1], rep[1],     # genome + contigs
+                  P(axes, None, None), P(axes, None), P(axes, None, None),
+                  P(axes, None), P(axes, None), P(axes, None),
+                  P(axes, None)),
+        out_specs=(P(axes, None), P(axes, None, None)),
+        check_rep=False)
+    return jax.jit(step, donate_argnums=(0,)), n_shards
+
+
 def sharded_call_step(mesh: Mesh, indiv: int):
     """Sharded per-site genotype-likelihood step (sites = data axis).
 

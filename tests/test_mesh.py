@@ -13,6 +13,22 @@ def test_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def test_v2_sharded_matches_single():
+    """The v2 fused step sharded over 8 devices must produce the same
+    raw decisions and the same total pileup as the single-device step."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import __graft_entry__ as g
+    from pecaller_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(4, 2)
+    packed, dc, single, single_dc = g.v2_sharded_smoke(mesh, compare=True)
+    # decisions: m1/m2/code/orb1/orb2/fb per pair
+    assert np.array_equal(packed, single)
+    # pileup partials over shards sum to the single-device pileup
+    assert np.array_equal(dc.sum(axis=0, dtype=np.uint32), single_dc)
+
+
 def test_sharded_map_matches_single():
     import jax
     if len(jax.devices()) < 8:
