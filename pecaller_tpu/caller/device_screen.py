@@ -1,0 +1,186 @@
+"""Device (TPU) caller screen: the production fast path of `run_caller`.
+
+The reference caller (pecaller.c:1149-1749) runs an exact float64
+joint-configuration beam per site.  On real cohorts the overwhelming
+majority of sites are *provably boring*: either the bad-base gates fire
+(pecaller.c:1261-1304 — pure integer logic), or every active sample is
+homozygous-reference by such a margin that the beam never keeps a second
+configuration, in which case every output value is fully determined
+(call = ref genotype, posterior = exactly 1.0, site type = REF, no .snp
+row).  This module classifies sites on-device so only the residual
+"interesting" sites reach the exact native float64 engine
+(native/pecall.c) — the screen is *conservative*, never mis-claiming a
+site, so byte parity with the C reference is preserved by construction.
+
+Why the margin criterion is exact
+---------------------------------
+With the pass-1 alpha prior, `fill_config_probs` (pecaller.c:2511-2788)
+expands an alternate genotype j for sample s only when
+``like_s[dom] - like_s[j] < thres (=2.3)`` (the allocation check
+``templ + thres > best_post`` with the all-ref config's prior == 0 and
+all priors <= 0; the secondary check ``templ + 0.01 > best_like`` is
+strictly tighter).  If every active sample's margin over *every*
+alternate genotype exceeds 2.3, the beam holds exactly one configuration
+through all passes, its normalized posterior is exactly 1.0 (float64
+1.0/1.0), every final call equals the initial call, and the EM loop
+terminates after pass 1 (`calls_changed == 0`).  The screen therefore
+requires ``margin > 2.3 + BAND`` where BAND conservatively covers the
+float32 likelihood-evaluation error (see below), and additionally routes
+any site whose depth could push the f32 lgamma error past BAND/2 to the
+exact engine.
+
+The pass-1 likelihood is evaluated in the same algebra as
+``fill_sample_like`` (pecaller.c:2448-2507) minus the per-sample
+multinomial coefficient (constant across genotypes, cancels in margins):
+
+    like'[j] = A1[scale,ref,j]
+             + sum_ii lgamma(TA[scale,ref,j,ii] + reads[ii])
+             - lgamma(TOTA[scale,ref,j] + tot + reads[5])
+
+where TA = ceil(scale * d_mean) is precomputed on the host with the
+*identical float64 operation sequence* as the C code (so ceil boundary
+cases match bit-for-bit), and A1 folds the read-independent factln terms.
+`factln(n) == lgamma(n+1)`: the C factbl uses the NR gammln / exact
+products whose difference from true lgamma (<1e-9) is inside BAND.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .device_model import fill_alpha_prior_np
+
+NO_ALLELES = 6
+MAX_GEN = 14
+
+# site codes
+HARD, EASY, BAD = 0, 1, 2
+
+# conservative slack over the exact 2.3 beam threshold: covers f32
+# summation error (<=14 terms of magnitude <= ~7e4 at the depth gate ->
+# <0.15) plus lgamma-vs-NR-gammln approximation error (<1e-6 rel).
+BAND = 1.0
+# route any sample whose lgamma arguments could exceed ~8.8e3 (f32 abs
+# error ~0.01/term, sum ~0.15) to the exact engine instead.
+DEPTH_GATE = 8192
+
+_SCALES = np.arange(10, 101, dtype=np.int64)        # pass-1 scale domain
+
+
+def _factln_table(n: int) -> np.ndarray:
+    """math.lgamma(k+1) for k in [0, n): within 1e-9 of the C factbl."""
+    import math
+    return np.array([math.lgamma(k + 1.0) for k in range(n)])
+
+
+@functools.lru_cache(maxsize=4)
+def _tables(haploid: bool):
+    """Pass-1 alpha tables over (scale 10..100, ref 0..3, genotype).
+
+    TA replicates pecaller.c:2466-2470 in identical float64 ops:
+    d_mean = alpha/rowsum (f64 divide), ta = ceil(scale * d_mean),
+    clamped >= 1.
+    """
+    max_gen = NO_ALLELES if haploid else MAX_GEN
+    n_sc = len(_SCALES)
+    ta = np.zeros((n_sc, 4, max_gen, NO_ALLELES), dtype=np.int32)
+    for ref in range(4):
+        alpha = fill_alpha_prior_np(300, 150, ref)[:max_gen].astype(
+            np.float64)
+        d_mean = alpha / alpha.sum(axis=1, keepdims=True)
+        for k, sc in enumerate(_SCALES):
+            t = np.ceil(float(sc) * d_mean)
+            ta[k, ref] = np.maximum(t, 1.0).astype(np.int32)
+    tota = ta.sum(axis=3, dtype=np.int32)
+    fact = _factln_table(int(ta.max()) + 1)
+    a1 = (fact[tota - 1] - fact[ta - 1].sum(axis=3)).astype(np.float32)
+    return ta, tota, a1
+
+
+def _screen_chunk(reads, ref_int, ctype, *, haploid: bool,
+                  ta, tota, a1):
+    """codes (S,) uint8 for one (S, I, 6) uint16 chunk.  Pure jax."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    max_gen = NO_ALLELES if haploid else MAX_GEN
+    min_depth = 1 if haploid else 2
+    indiv = reads.shape[1]
+
+    r = reads.astype(jnp.int32)                     # (S, I, 6)
+    tot = r[..., :5].sum(-1)                        # (S, I) excl. Ins
+    active = tot > min_depth
+
+    # ---- bad-base gates (pecaller.c:1261-1304), exact integer logic ----
+    sum_tot = tot.sum(-1, dtype=jnp.int64)          # (S,)
+    cnt8 = (tot >= 8).sum(-1)                       # (S,)
+    CHRY = 2
+    bad = (sum_tot < 8 * indiv) | ((2 * cnt8 < indiv) & (ctype != CHRY))
+
+    # ---- pass-1 likelihood margins (f32) ----
+    sc_idx = jnp.clip(jnp.minimum(tot, 100), 10, 100) - 10       # (S, I)
+    ta_d = jnp.asarray(ta)                          # (91, 4, G, 6) i32
+    tota_d = jnp.asarray(tota)
+    a1_d = jnp.asarray(a1)
+    ref_b = ref_int.astype(jnp.int32)[:, None]      # (S, 1)
+    ta_si = ta_d[sc_idx, ref_b]                     # (S, I, G, 6)
+    tota_si = tota_d[sc_idx, ref_b]                 # (S, I, G)
+    a1_si = a1_d[sc_idx, ref_b]                     # (S, I, G)
+
+    args = (ta_si + r[:, :, None, :]).astype(jnp.float32) + 1.0
+    tail = (tota_si + (tot + r[..., 5])[..., None]).astype(
+        jnp.float32) + 1.0
+    like = a1_si + lax.lgamma(args).sum(-1) - lax.lgamma(tail)  # (S,I,G)
+
+    g = jnp.arange(max_gen)
+    is_ref = g[None, None, :] == ref_b[..., None]
+    like_ref = jnp.where(is_ref, like, -jnp.inf).max(-1)
+    like_alt = jnp.where(is_ref, -jnp.inf, like).max(-1)
+    margin = like_ref - like_alt                    # (S, I)
+
+    samp_easy = (~active) | (margin > jnp.float32(2.3 + BAND))
+    depth_ok = ((tot + r[..., 5]) <= DEPTH_GATE).all(-1)
+    easy = samp_easy.all(-1) & depth_ok
+
+    codes = jnp.where(bad, jnp.uint8(BAD),
+                      jnp.where(easy, jnp.uint8(EASY), jnp.uint8(HARD)))
+    return codes
+
+
+class CallerScreen:
+    """Chunked, jitted site screen.  Call with host numpy arrays."""
+
+    def __init__(self, indiv: int, haploid: bool, chunk: int = 8192):
+        import jax
+        self.indiv = indiv
+        self.haploid = haploid
+        self.chunk = chunk
+        ta, tota, a1 = _tables(haploid)
+        self._fn = jax.jit(functools.partial(
+            _screen_chunk, haploid=haploid, ta=ta, tota=tota, a1=a1))
+
+    def __call__(self, reads: np.ndarray, ref_int: np.ndarray,
+                 ctype: np.ndarray) -> np.ndarray:
+        """reads (S,I,6) u16, ref_int (S,) 0..3, ctype (S,) -> codes."""
+        n = len(ref_int)
+        out = np.empty(n, dtype=np.uint8)
+        ck = self.chunk
+        for lo in range(0, n, ck):
+            hi = min(lo + ck, n)
+            m = hi - lo
+            if m < ck:                    # pad the tail to a fixed shape
+                rd = np.zeros((ck, self.indiv, 6), dtype=np.uint16)
+                rd[:m] = reads[lo:hi]
+                ri = np.zeros(ck, dtype=np.uint8)
+                ri[:m] = ref_int[lo:hi]
+                ct = np.zeros(ck, dtype=np.uint8)
+                ct[:m] = ctype[lo:hi]
+                out[lo:hi] = np.asarray(self._fn(rd, ri, ct))[:m]
+            else:
+                out[lo:hi] = np.asarray(self._fn(
+                    np.ascontiguousarray(reads[lo:hi]),
+                    np.ascontiguousarray(ref_int[lo:hi]),
+                    np.ascontiguousarray(ctype[lo:hi])))
+        return out

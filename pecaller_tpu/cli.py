@@ -10,6 +10,7 @@ reference binary/script it replaces:
   pecall_merger     pecall_merger.c CLI
   snp_to_vcf        snp_to_vcf.c CLI (stdout)
   make_snplist      make_snplist_formerge.pl
+  make_snplist_restricted  make_snplist_formerge_restricted.pl
   merge_indel_snp   merge_indel_snp.pl
   snp_tran_counter  snp_tran_counter.pl (stdout)
   snp_tran_silent_rep  snp_tran_silent_rep.pl (stdout)
@@ -246,6 +247,10 @@ def main(argv=None):
     if cmd == "make_snplist":
         from .cohort import make_snplist
         make_snplist(rest[0], rest[1])
+        return 0
+    if cmd == "make_snplist_restricted":
+        from .cohort import make_snplist_restricted
+        make_snplist_restricted(rest[0], rest[1])
         return 0
     if cmd == "merge_indel_snp":
         from .cohort import merge_indel_snp

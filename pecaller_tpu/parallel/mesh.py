@@ -21,6 +21,19 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+try:                                    # JAX >= 0.8: check_rep -> check_vma
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_vma=False):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_vma)
+except ImportError:                     # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_vma=False):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=check_vma)
+
 from ..ops import sw as dsw
 
 
@@ -60,12 +73,11 @@ def sharded_map_step(mesh: Mesh, genome_size: int, bisulfite: bool = False):
             axes, scatter_dimension=0, tiled=False)
         return score, bk, bi, counts
 
-    from jax.experimental.shard_map import shard_map
     step = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(axes, None), P(axes), P(axes, None), P(axes)),
         out_specs=(P(axes), P(axes), P(axes), P(axes, None)),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(step)
 
 
@@ -104,7 +116,6 @@ def sharded_fused_step2(mesh: Mesh, dnbr, *, paired: bool,
     (n_shards, genome_size*6) uint32, donated.
     """
     from ..mapper.device_map2 import build_fused_step2
-    from jax.experimental.shard_map import shard_map
 
     axes = ("reads", "genome")
     n_shards = mesh.shape["reads"] * mesh.shape["genome"]
@@ -124,17 +135,17 @@ def sharded_fused_step2(mesh: Mesh, dnbr, *, paired: bool,
                       mm0[0], thr[0], fb_pad[0])
         return dc[None], out[None]
 
-    rep = [P(*([None] * k)) for k in range(4)]
+    rep1 = P(None)
     step = shard_map(
         local, mesh=mesh,
         in_specs=(P(axes, None),                      # dev_counts
-                  rep[1], rep[1], rep[1], rep[1],     # nbr index
-                  rep[1], rep[1], rep[1], rep[1],     # genome + contigs
+                  rep1, rep1, rep1, rep1,             # nbr index
+                  rep1, rep1, rep1, rep1,             # genome + contigs
                   P(axes, None, None), P(axes, None), P(axes, None, None),
                   P(axes, None), P(axes, None), P(axes, None),
                   P(axes, None)),
         out_specs=(P(axes, None), P(axes, None, None)),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(step, donate_argnums=(0,)), n_shards
 
 
@@ -150,11 +161,10 @@ def sharded_call_step(mesh: Mesh, indiv: int):
     def local_step(reads, ref_int):
         return site_likelihoods(reads, ref_int)
 
-    from jax.experimental.shard_map import shard_map
     step = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(("reads", "genome"), None, None),
                   P(("reads", "genome"))),
         out_specs=P(("reads", "genome"), None, None),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(step)

@@ -24,6 +24,12 @@ def test_v2_sharded_matches_single():
     mesh = make_mesh(4, 2)
     packed, dc, single, single_dc = g.v2_sharded_smoke(mesh, compare=True)
     # decisions: m1/m2/code/orb1/orb2/fb per pair
+    # NOTE: exact equality is only guaranteed below the capacity caps —
+    # the batch-coupled fallbacks (cumsum(tot) > H_CAP, heavy-spill HV)
+    # are evaluated per shard-local batch and can legitimately diverge
+    # from the single-device run on cap-hitting batches.  The smoke data
+    # is sized to stay below every cap (v2_sharded_smoke asserts the
+    # per-shard insertion-record marker), so strict equality holds here.
     assert np.array_equal(packed, single)
     # pileup partials over shards sum to the single-device pileup
     assert np.array_equal(dc.sum(axis=0, dtype=np.uint32), single_dc)
