@@ -94,7 +94,7 @@ def _tables(haploid: bool):
             t = np.ceil(float(sc) * d_mean)
             ta[k, ref] = np.maximum(t, 1.0).astype(np.int32)
     tota = ta.sum(axis=3, dtype=np.int32)
-    fact = _factln_table(int(ta.max()) + 1)
+    fact = _factln_table(int(tota.max()) + 1)
     a1 = (fact[tota - 1] - fact[ta - 1].sum(axis=3)).astype(np.float32)
     return ta, tota, a1
 
@@ -114,7 +114,7 @@ def _screen_chunk(reads, ref_int, ctype, *, haploid: bool,
     active = tot > min_depth
 
     # ---- bad-base gates (pecaller.c:1261-1304), exact integer logic ----
-    sum_tot = tot.sum(-1, dtype=jnp.int64)          # (S,)
+    sum_tot = tot.sum(-1, dtype=jnp.int32)          # (S,) < 2**31 safe
     cnt8 = (tot >= 8).sum(-1)                       # (S,)
     CHRY = 2
     bad = (sum_tot < 8 * indiv) | ((2 * cnt8 < indiv) & (ctype != CHRY))
@@ -137,10 +137,28 @@ def _screen_chunk(reads, ref_int, ctype, *, haploid: bool,
     g = jnp.arange(max_gen)
     is_ref = g[None, None, :] == ref_b[..., None]
     like_ref = jnp.where(is_ref, like, -jnp.inf).max(-1)
-    like_alt = jnp.where(is_ref, -jnp.inf, like).max(-1)
+    # fill_config_probs never expands indel genotypes without >=3
+    # supporting reads (pecaller.c:2621-2625: templ -= 1e10 for j in
+    # {4,12} when reads[Del]<3, {5,13} when reads[Ins]<3), so they are
+    # excluded from the beam-survival margin.
+    is_del_g = (g == 4) | (g == 12)
+    is_ins_g = (g == 5) | (g == 13)
+    blocked = ((is_del_g[None, None, :] & (r[..., 4:5] < 3)) |
+               (is_ins_g[None, None, :] & (r[..., 5:6] < 3)))
+    like_alt = jnp.where(is_ref | blocked, -jnp.inf, like).max(-1)
     margin = like_ref - like_alt                    # (S, I)
+    samp_easy = margin > jnp.float32(2.3 + BAND)
 
-    samp_easy = (~active) | (margin > jnp.float32(2.3 + BAND))
+    if indiv >= 4:
+        # with >=4 samples the EM loop continues whenever any sample's
+        # pass-1 argmax (over ALL genotypes, ungated:
+        # pecaller.c:2484-2486) differs from the final call, so EASY
+        # additionally requires the ungated argmax to be the ref
+        # genotype by more than the f32 error band.
+        like_any = jnp.where(is_ref, -jnp.inf, like).max(-1)
+        samp_easy &= (like_ref - like_any) > jnp.float32(BAND)
+
+    samp_easy = (~active) | samp_easy
     depth_ok = ((tot + r[..., 5]) <= DEPTH_GATE).all(-1)
     easy = samp_easy.all(-1) & depth_ok
 
@@ -150,27 +168,47 @@ def _screen_chunk(reads, ref_int, ctype, *, haploid: bool,
 
 
 class CallerScreen:
-    """Chunked, jitted site screen.  Call with host numpy arrays."""
+    """Chunked, jitted site screen.  Call with host numpy arrays.
 
-    def __init__(self, indiv: int, haploid: bool, chunk: int = 8192):
+    Chunks are large (up to 2**18 sites, scaled down with cohort size to
+    bound the (S, I, 14, 6) f32 working set) so the per-dispatch device
+    RPC latency amortizes; short inputs pad up to power-of-two buckets
+    so only a handful of shapes ever compile.
+    """
+
+    MIN_CHUNK = 1 << 10
+
+    def __init__(self, indiv: int, haploid: bool, chunk: int | None = None):
         import jax
         self.indiv = indiv
         self.haploid = haploid
+        if chunk is None or chunk <= 8192:
+            # ~ (1<<21) site*samples per dispatch, pow2, within [2^13,2^18]
+            c = (1 << 21) // max(indiv, 1)
+            c = 1 << (c.bit_length() - 1)
+            chunk = max(1 << 13, min(1 << 18, c))
         self.chunk = chunk
         ta, tota, a1 = _tables(haploid)
         self._fn = jax.jit(functools.partial(
             _screen_chunk, haploid=haploid, ta=ta, tota=tota, a1=a1))
+
+    def _bucket(self, m: int) -> int:
+        b = self.MIN_CHUNK
+        while b < m:
+            b <<= 1
+        return min(b, self.chunk)
 
     def __call__(self, reads: np.ndarray, ref_int: np.ndarray,
                  ctype: np.ndarray) -> np.ndarray:
         """reads (S,I,6) u16, ref_int (S,) 0..3, ctype (S,) -> codes."""
         n = len(ref_int)
         out = np.empty(n, dtype=np.uint8)
-        ck = self.chunk
-        for lo in range(0, n, ck):
-            hi = min(lo + ck, n)
+        lo = 0
+        while lo < n:
+            hi = min(lo + self.chunk, n)
             m = hi - lo
-            if m < ck:                    # pad the tail to a fixed shape
+            ck = self._bucket(m)
+            if m < ck:                    # pad the tail into its bucket
                 rd = np.zeros((ck, self.indiv, 6), dtype=np.uint16)
                 rd[:m] = reads[lo:hi]
                 ri = np.zeros(ck, dtype=np.uint8)
@@ -183,4 +221,5 @@ class CallerScreen:
                     np.ascontiguousarray(reads[lo:hi]),
                     np.ascontiguousarray(ref_int[lo:hi]),
                     np.ascontiguousarray(ctype[lo:hi])))
+            lo = hi
         return out

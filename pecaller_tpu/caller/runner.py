@@ -23,6 +23,9 @@ from .native import load_pecall
 INT_TO_GEN = "ACGTDIMRWSYKEH" + "N"
 GEN_TO_INT = {c: i for i, c in enumerate(INT_TO_GEN[:14])}
 GEN_TO_INT["N"] = 14
+_GEN_LUT = np.full(256, -1, dtype=np.int16)
+for _c, _i in GEN_TO_INT.items():
+    _GEN_LUT[ord(_c)] = _i
 SNP_TYPE = ["", "SNP", "DEL", "INS", "LOW", "MULTIALLELIC", "MESS"]
 ALLELE_CHAR = "ACGTDI"
 AUTO, CHRX, CHRY, CHRMT = 0, 1, 2, 3
@@ -51,6 +54,15 @@ class CallerConfig:
     # genome positions per streaming window (non-guide path); bounds RAM
     # at ~window*indiv*12 bytes regardless of genome size
     window_positions: int = 1 << 23
+    # device (TPU/XLA) site screen: resolves provably-boring sites on
+    # device and routes only interesting sites into the exact native
+    # float64 engine (see caller/device_screen.py for the parity proof)
+    device_screen: bool = True
+    # gzip level for .base.gz/.piles.gz: the artifact contract is the
+    # decompressed stream (all parity checks and downstream consumers
+    # decompress), so the default trades disk for wall-clock; use 6 to
+    # match the reference's zlib default byte-for-byte on disk
+    gzip_level: int = 1
 
 
 def _chrom_type(name: str) -> int:
@@ -191,18 +203,30 @@ def run_caller(cfg: CallerConfig):
     lib, model = load_pecall(indiv, cfg.haploid, cfg.theta, cfg.denovo_rate,
                              cfg.prob_to_call, cfg.use_ped, dad, mom, sex)
 
+    screen = None
+    if cfg.device_screen and not cfg.dump_mode:
+        try:
+            from .device_screen import CallerScreen
+            screen = CallerScreen(indiv, cfg.haploid)
+        except Exception:           # no usable jax backend: exact path
+            screen = None
+
     st = _Accum(indiv)
     w = _SiteWriters(cfg, sample_names)
     ctx = dict(cfg=cfg, sdx=sdx, genome=genome, frag_pos=frag_pos,
-               chrom_types=chrom_types, indiv=indiv, lib=lib, model=model)
+               chrom_types=chrom_types, indiv=indiv, lib=lib, model=model,
+               screen=screen)
 
     if cfg.guide_path is None:
+        from concurrent.futures import ThreadPoolExecutor
         streams = [_ChunkedStream(p) for p in files]
         window = cfg.window_positions
         lo = 0
+        # per-stream gz decompression releases the GIL: overlap it
+        pool = ThreadPoolExecutor(max_workers=min(8, len(streams)))
         while True:
             hi = lo + window
-            chunks = [s.take_below(hi) for s in streams]
+            chunks = list(pool.map(lambda s: s.take_below(hi), streams))
             if all(len(c[0]) == 0 for c in chunks):
                 if all(s.exhausted for s in streams):
                     break
@@ -296,7 +320,7 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
     fp_prev = np.concatenate([[0], frag_pos])
     contig_pos = 1 + all_pos - fp_prev[which]
     refc = ctx["genome"][np.clip(all_pos, 0, sdx.genome_size - 1)]
-    ref_int = np.array([GEN_TO_INT.get(chr(c), -1) for c in refc])
+    ref_int = _GEN_LUT[refc]
     if (ref_int < 0).any():
         raise RuntimeError("illegal genome character at a called site")
     ref_int = ref_int.astype(np.int32)
@@ -319,6 +343,26 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
     out_active = np.zeros((n_sites, indiv), dtype=np.uint8)
 
     cidx = np.nonzero(callable_m)[0]
+    screen = ctx.get("screen")
+    if screen is not None and len(cidx):
+        from .device_screen import EASY, BAD
+        codes = screen(data[cidx], ref_int[cidx].astype(np.uint8),
+                       ctype[cidx].astype(np.uint8))
+        # EASY: every active sample is hom-ref beyond the 2.3 beam
+        # threshold -> the exact beam keeps one config; posterior is
+        # exactly 1.0, call = ref, site type REF (out_probs init 1.0,
+        # out_types 0, out_acnt 0 already hold).
+        sel_e = cidx[codes == EASY]
+        if len(sel_e):
+            min_depth = 1 if cfg.haploid else 2
+            tot_e = data[sel_e].astype(np.int64)[..., :5].sum(axis=2)
+            act = tot_e > min_depth
+            out_active[sel_e] = act
+            out_calls[sel_e] = np.where(
+                act, ref_int[sel_e, None], 14).astype(np.int8)
+        # BAD: the integer bad-base gates fired -> all samples print
+        # "N 1" with active=0; the initialized defaults already match.
+        cidx = cidx[codes == 0]            # HARD -> exact native engine
     for lo in range(0, len(cidx), cfg.chunk_sites):
         sel = cidx[lo:lo + cfg.chunk_sites]
         nb = len(sel)
@@ -357,10 +401,10 @@ class _SiteWriters:
     def __init__(self, cfg, sample_names):
         self.cfg = cfg
         self.indiv = len(sample_names)
-        self.basef = gzip.open(cfg.out_base + ".base.gz", "wt",
-                               compresslevel=6)
-        self.pilef = gzip.open(cfg.out_base + ".piles.gz", "wt",
-                               compresslevel=6)
+        self.basef = gzip.open(cfg.out_base + ".base.gz", "wb",
+                               compresslevel=cfg.gzip_level)
+        self.pilef = gzip.open(cfg.out_base + ".piles.gz", "wb",
+                               compresslevel=cfg.gzip_level)
         if cfg.dump_mode:
             open(cfg.out_base + ".snp", "w").close()
             self.snpf = None
@@ -368,21 +412,48 @@ class _SiteWriters:
             self.snpf = open(cfg.out_base + ".snp", "w")
             self.snpf.write("Fragment\tPosition\tReference\tAlleles"
                             "\tAllele_Counts\tType")
-        self.basef.write("Fragment\tPosition\tReference")
-        self.pilef.write("Fragment\tPosition\tReference")
+        self.basef.write(b"Fragment\tPosition\tReference")
+        self.pilef.write(b"Fragment\tPosition\tReference")
         for nm in sample_names:
             if self.snpf:
                 self.snpf.write("\t%s\t" % nm)
-            self.basef.write("\t%s\t" % nm)
-            self.pilef.write("\t%s\t\t\t\t\t" % nm)
+            self.basef.write(("\t%s\t" % nm).encode())
+            self.pilef.write(("\t%s\t\t\t\t\t" % nm).encode())
 
     def write_calls_window(self, sdx, which, contig_pos, refc, callable_m,
                            data, calls, probs, types, denovo, acnt, active):
+        idx = np.nonzero(callable_m)[0]
+        if len(idx) == 0:
+            return
+        # rows whose per-sample fields are all "<call> 1"/"N 1" and that
+        # emit no .snp/.piles row are bulk-formatted at C speed
+        # (screen-resolved sites, plus any exact-engine REF site whose
+        # posteriors are exactly 1.0 — identical bytes either way)
+        fast = (types[idx] == 0) & (probs[idx] == 1.0).all(axis=1)
+        wh = which[idx]
+        change = np.empty(len(idx), dtype=bool)
+        change[0] = True
+        change[1:] = (fast[1:] != fast[:-1]) | (wh[1:] != wh[:-1])
+        bounds = np.nonzero(change)[0].tolist()
+        bounds.append(len(idx))
+        from .native import format_base_rows
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            sel = idx[a:b]
+            if fast[a]:
+                frag = sdx.names[wh[a]].encode()
+                self.basef.write(format_base_rows(
+                    frag, contig_pos[sel], refc[sel], calls[sel],
+                    active[sel]))
+            else:
+                self._write_slow_rows(sdx, which, contig_pos, refc, data,
+                                      calls, probs, types, denovo, acnt,
+                                      active, sel)
+
+    def _write_slow_rows(self, sdx, which, contig_pos, refc, data, calls,
+                         probs, types, denovo, acnt, active, sel):
         g = lambda x: "%g" % x
         cfg = self.cfg
-        for s in range(len(contig_pos)):
-            if not callable_m[s]:
-                continue
+        for s in sel:
             frag = sdx.names[which[s]]
             pos = int(contig_pos[s])
             ref = chr(refc[s])
@@ -393,7 +464,7 @@ class _SiteWriters:
                                                g(probs[s, i])))
                 else:
                     parts.append("\tN\t1")
-            self.basef.write("".join(parts))
+            self.basef.write("".join(parts).encode())
             t = types[s]
             if t != 0:
                 a_str = ",".join(ALLELE_CHAR[i] for i in range(6)
@@ -412,7 +483,7 @@ class _SiteWriters:
                     for j in range(6):
                         prow.append("\t%d" % data[s, i, j])
                 self.snpf.write("".join(row))
-                self.pilef.write("".join(prow))
+                self.pilef.write("".join(prow).encode())
 
     def write_dump_window(self, frag_names, contig_pos, refc, data):
         min_depth_needed = 2
@@ -430,8 +501,8 @@ class _SiteWriters:
                     row.append("\tN\t1")
                 for j in range(6):
                     prow.append("\t%d" % data[s, i, j])
-            self.basef.write("".join(row))
-            self.pilef.write("".join(prow))
+            self.basef.write("".join(row).encode())
+            self.pilef.write("".join(prow).encode())
 
     def close(self):
         self.basef.close()
