@@ -16,3 +16,11 @@ and can be golden-diffed against each other.
 """
 
 __version__ = "0.1.0"
+
+# Install the hugepage-backed numpy allocator (native/npalloc.c): on
+# hosts that fault fresh 4 KiB pages slowly (lazy-paging VMs) this is a
+# 4-30x speedup for every large host-side array the pipeline touches.
+# Opt out with PECALLER_NO_HUGEPAGES=1.
+from .utils.npalloc import install as _npalloc_install  # noqa: E402
+
+_npalloc_install()

@@ -176,6 +176,37 @@ class _ChunkedStream:
         return self._eof and len(self._buf) == 0
 
 
+_TIMER = os.environ.get("PECALLER_CALLER_TIMING")
+
+
+class _Phase:
+    """Env-gated (PECALLER_CALLER_TIMING=1) phase wall-clock totals."""
+
+    def __init__(self):
+        import collections
+        import time
+        self.t = collections.defaultdict(float)
+        self._time = time.time
+
+    def __call__(self, name):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = self._time()
+            yield
+            self.t[name] += self._time() - t0
+        return cm()
+
+    def report(self):
+        if _TIMER and self.t:
+            tot = sum(self.t.values())
+            rows = sorted(self.t.items(), key=lambda kv: -kv[1])
+            print("caller phases: " + ", ".join(
+                f"{k}={v:.2f}s" for k, v in rows) +
+                f" (tracked {tot:.2f}s)", flush=True)
+
+
 def run_caller(cfg: CallerConfig):
     sdx = read_sdx(cfg.sdx_path)
     base = cfg.sdx_path[:cfg.sdx_path.rfind(".")] \
@@ -213,9 +244,10 @@ def run_caller(cfg: CallerConfig):
 
     st = _Accum(indiv)
     w = _SiteWriters(cfg, sample_names)
+    ph = _Phase()
     ctx = dict(cfg=cfg, sdx=sdx, genome=genome, frag_pos=frag_pos,
                chrom_types=chrom_types, indiv=indiv, lib=lib, model=model,
-               screen=screen)
+               screen=screen, ph=ph)
 
     if cfg.guide_path is None:
         from concurrent.futures import ThreadPoolExecutor
@@ -226,22 +258,25 @@ def run_caller(cfg: CallerConfig):
         pool = ThreadPoolExecutor(max_workers=min(8, len(streams)))
         while True:
             hi = lo + window
-            chunks = list(pool.map(lambda s: s.take_below(hi), streams))
+            with ph("read"):
+                chunks = list(pool.map(lambda s: s.take_below(hi),
+                                       streams))
             if all(len(c[0]) == 0 for c in chunks):
                 if all(s.exhausted for s in streams):
                     break
                 lo = hi
                 continue
-            all_pos = np.unique(np.concatenate(
-                [c[0] for c in chunks if len(c[0])]))
-            data = np.zeros((len(all_pos), indiv, 6), dtype=np.uint16)
-            present = np.zeros((len(all_pos), indiv), dtype=bool)
-            for i, (p_, c_) in enumerate(chunks):
-                if len(p_) == 0:
-                    continue
-                idx = np.searchsorted(all_pos, p_)
-                data[idx, i] = c_
-                present[idx, i] = True
+            with ph("merge"):
+                all_pos = np.unique(np.concatenate(
+                    [c[0] for c in chunks if len(c[0])]))
+                data = np.zeros((len(all_pos), indiv, 6), dtype=np.uint16)
+                present = np.zeros((len(all_pos), indiv), dtype=bool)
+                for i, (p_, c_) in enumerate(chunks):
+                    if len(p_) == 0:
+                        continue
+                    idx = np.searchsorted(all_pos, p_)
+                    data[idx, i] = c_
+                    present[idx, i] = True
             # non-guide quirk: chrY/MT are NOT forced haploid
             # (only the guide path does, pecaller.c:968-969)
             hap = np.full(len(all_pos), 1 if cfg.haploid else 0, np.uint8)
@@ -271,8 +306,10 @@ def run_caller(cfg: CallerConfig):
                         count_absent=True)
 
     w.close()
-    _write_dist(cfg, sample_names, st.tot_bases, st.counts_hist,
-                st.mean_done(), st.base_count, st.max_cov)
+    with ph("dist"):
+        _write_dist(cfg, sample_names, st.tot_bases, st.counts_hist,
+                    st.mean_done(), st.base_count, st.max_cov)
+    ph.report()
     return dict(n_sites=st.tot_bases, sample_names=sample_names)
 
 
@@ -310,8 +347,10 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
     cfg, sdx = ctx["cfg"], ctx["sdx"]
     frag_pos = ctx["frag_pos"]
     indiv = ctx["indiv"]
+    ph = ctx.get("ph") or _Phase()
     n_sites = len(all_pos)
-    st.add(data.astype(np.int64).sum(axis=2), present, count_absent)
+    with ph("stats"):
+        st.add(data.astype(np.int64).sum(axis=2), present, count_absent)
 
     which = find_chrom_caller(frag_pos, sdx.n_contigs,
                               max((sdx.n_contigs - 1) // 2, 0), all_pos)
@@ -346,23 +385,27 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
     screen = ctx.get("screen")
     if screen is not None and len(cidx):
         from .device_screen import EASY, BAD
-        codes = screen(data[cidx], ref_int[cidx].astype(np.uint8),
-                       ctype[cidx].astype(np.uint8))
+        with ph("screen"):
+            codes = screen(data[cidx], ref_int[cidx].astype(np.uint8),
+                           ctype[cidx].astype(np.uint8))
         # EASY: every active sample is hom-ref beyond the 2.3 beam
         # threshold -> the exact beam keeps one config; posterior is
         # exactly 1.0, call = ref, site type REF (out_probs init 1.0,
         # out_types 0, out_acnt 0 already hold).
-        sel_e = cidx[codes == EASY]
-        if len(sel_e):
-            min_depth = 1 if cfg.haploid else 2
-            tot_e = data[sel_e].astype(np.int64)[..., :5].sum(axis=2)
-            act = tot_e > min_depth
-            out_active[sel_e] = act
-            out_calls[sel_e] = np.where(
-                act, ref_int[sel_e, None], 14).astype(np.int8)
+        with ph("easy"):
+            sel_e = cidx[codes == EASY]
+            if len(sel_e):
+                min_depth = 1 if cfg.haploid else 2
+                tot_e = data[sel_e].astype(np.int64)[..., :5].sum(axis=2)
+                act = tot_e > min_depth
+                out_active[sel_e] = act
+                out_calls[sel_e] = np.where(
+                    act, ref_int[sel_e, None], 14).astype(np.int8)
         # BAD: the integer bad-base gates fired -> all samples print
         # "N 1" with active=0; the initialized defaults already match.
         cidx = cidx[codes == 0]            # HARD -> exact native engine
+    ctx_native = ph("native")
+    ctx_native.__enter__()
     for lo in range(0, len(cidx), cfg.chunk_sites):
         sel = cidx[lo:lo + cfg.chunk_sites]
         nb = len(sel)
@@ -389,10 +432,12 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
         out_denovo[sel] = dn
         out_acnt[sel] = ac
         out_active[sel] = act
+    ctx_native.__exit__(None, None, None)
 
-    w.write_calls_window(sdx, which, contig_pos, refc, callable_m, data,
-                         out_calls, out_probs, out_types, out_denovo,
-                         out_acnt, out_active)
+    with ph("write"):
+        w.write_calls_window(sdx, which, contig_pos, refc, callable_m,
+                             data, out_calls, out_probs, out_types,
+                             out_denovo, out_acnt, out_active)
 
 
 class _SiteWriters:
