@@ -55,6 +55,11 @@ class MapperConfig:
     # batch-granular resumability (SURVEY §5.4): snapshot accumulated
     # pileup + stats after each completed fastq (pair); restart skips them
     checkpoint: bool = False
+    # device-mesh scale-out for the v2 fused engine: None = use every
+    # visible device (1 leaves the single-device step); reads shard over
+    # the mesh, each shard accumulating a pileup partial (the reference's
+    # per-directory SGE fan-out, map_directory_array.pl:101)
+    mesh_shards: int | None = None
 
 
 def _strip_sdx(path: str) -> str:
@@ -76,11 +81,19 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
         if sdx.genome_size < 2**30:
             try:
                 # v2 fused pipeline: inverted nbr index (small genomes)
+                import jax
                 from ..index.nbr import load_nbr_index
                 from .device_map2 import FusedMapperEngine2
                 nbr = load_nbr_index(base, index)
+                n_sh = cfg.mesh_shards
+                if n_sh is None:
+                    n_sh = len(jax.devices())
+                mesh = None
+                if n_sh > 1:
+                    from ..parallel.mesh import make_mesh
+                    mesh = make_mesh(n_sh, 1)
                 eng = FusedMapperEngine2(sdx, genome, index, nbr=nbr,
-                                         **kw)
+                                         mesh=mesh, **kw)
             except ValueError:
                 # nbr expansion too large: v1 fused pipeline
                 from .device_pipeline import FusedMapperEngine

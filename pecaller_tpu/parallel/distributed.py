@@ -35,9 +35,11 @@ def init_distributed(coordinator: str | None = None,
                             os.environ.get("PECALLER_NUM_PROCESSES", "1"))
         process_id = int(process_id if process_id is not None
                          else os.environ.get("PECALLER_PROCESS_ID", "0"))
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is None:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
         return process_id, num_processes
     return 0, 1
 

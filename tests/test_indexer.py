@@ -56,6 +56,31 @@ def test_seq_sdx_mdx_idx_match(small_golden):
     assert np.array_equal(np.asarray(i1.positions), np.asarray(i2.positions))
 
 
+def test_chunked_scan_equivalence(tmp_path):
+    """The bounded-chunk contig scan must produce identical artifacts to
+    a whole-contig scan (hg38-scale memory envelope, VERDICT r2 item 9)."""
+    rng = np.random.default_rng(3)
+    names, seqs = make_genome(rng, [300000, 50000],
+                              n_blocks=[(0, 1000, 25), (0, 65530, 40)])
+    fasta = str(tmp_path / "g.fa")
+    write_fasta(fasta, names, seqs)
+    build_index(fasta, str(tmp_path / "whole"), write_idx=False,
+                chunk=1 << 30)
+    build_index(fasta, str(tmp_path / "chunked"), write_idx=False,
+                chunk=1 << 14)
+    assert gz_bytes(str(tmp_path / "whole.seq")) == \
+        gz_bytes(str(tmp_path / "chunked.seq"))
+    with open(str(tmp_path / "whole.sdx")) as f1, \
+            open(str(tmp_path / "chunked.sdx")) as f2:
+        assert f1.read() == f2.read()
+    assert np.array_equal(read_mdx(str(tmp_path / "whole.mdx")),
+                          read_mdx(str(tmp_path / "chunked.mdx")))
+    i1 = load_index(str(tmp_path / "whole"), cache=False)
+    i2 = load_index(str(tmp_path / "chunked"), cache=False)
+    assert np.array_equal(i1.keys, i2.keys)
+    assert np.array_equal(i1.starts, i2.starts)
+
+
 def test_bisulfite_mode(tmp_path):
     rng = np.random.default_rng(7)
     names, seqs = make_genome(rng, [2000])

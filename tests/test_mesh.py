@@ -35,6 +35,50 @@ def test_v2_sharded_matches_single():
     assert np.array_equal(dc.sum(axis=0, dtype=np.uint32), single_dc)
 
 
+def test_run_mapper_sharded_artifacts_match_single(tmp_path):
+    """run_mapper with the auto-selected 8-device mesh must write
+    byte-identical artifacts to the single-device fused path (VERDICT r2
+    item 4: the mesh wired into production)."""
+    import gzip
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from util import make_genome, write_fasta, sample_reads, write_fastq
+    from pecaller_tpu.index import build_index
+    from pecaller_tpu.mapper import run_mapper, MapperConfig
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(17)
+    names, seqs = make_genome(rng, [25000, 15000])
+    write_fasta(f"{d}/genome.fa", names, seqs)
+    build_index(f"{d}/genome.fa", f"{d}/g", write_idx=False)
+    reads = sample_reads(rng, names, seqs, 700, read_len=100,
+                         err_rate=0.01, paired=True, insert_lo=150,
+                         insert_hi=400, indel_rate=0.1, max_indel=3)
+    write_fastq(f"{d}/r1.fastq", reads, which=0)
+    write_fastq(f"{d}/r2.fastq", reads, which=1)
+
+    outs = {}
+    for shards in (1, None):            # None = auto (all 8 devices)
+        base = f"{d}/out_sh{shards}"
+        cfg = MapperConfig(out_base=base, sdx_path=f"{d}/g.sdx",
+                           paired=True, files1=[f"{d}/r1.fastq"],
+                           files2=[f"{d}/r2.fastq"], max_dist=500,
+                           min_dist=0, min_align=0.9, batch_size=700,
+                           device=True, mesh_shards=shards, nthreads=2)
+        eng = run_mapper(cfg)
+        if shards is None:
+            assert eng._n_sh == 8      # the mesh really was selected
+        arts = {}
+        for ext in (".pileup.gz", ".indel.txt.gz"):
+            with gzip.open(base + ext, "rb") as f:
+                arts[ext] = f.read()
+        with open(base + ".summary.txt", "rb") as f:
+            arts[".summary.txt"] = f.read()
+        outs[shards] = arts
+    assert outs[1] == outs[None]
+
+
 def test_sharded_map_matches_single():
     import jax
     if len(jax.devices()) < 8:

@@ -158,6 +158,38 @@ def gz_bytes(path: str) -> bytes:
         return f.read()
 
 
+def assert_tie_local_pileup(p_ref: np.ndarray, p_fus: np.ndarray,
+                            max_width: int = 8,
+                            max_frac: float = 0.01) -> None:
+    """Pin device-vs-oracle pileup divergence to exact-score-tie shifts.
+
+    The only legitimate divergence between the float64 oracle DP and the
+    integer device DP is the placement of equal-score indel/mismatch
+    runs inside repeats: the same events land 1-2 bases away.  Such a
+    shift produces a SHORT cluster of differing rows whose per-column
+    sums cancel.  Any real bug (lost events, misplaced reads, corrupted
+    counts) breaks per-cluster cancellation or produces wide clusters,
+    and fails here.
+    """
+    d = p_fus.astype(np.int64) - p_ref.astype(np.int64)
+    assert (d.sum(axis=0) == 0).all(), "global column sums differ"
+    nz = np.nonzero(d.any(axis=1))[0]
+    nnz = max(int((p_ref.sum(1) > 0).sum()), 1)
+    assert len(nz) <= max(4, int(nnz * max_frac)), \
+        f"{len(nz)} differing rows of {nnz}"
+    if len(nz) == 0:
+        return
+    splits = np.nonzero(np.diff(nz) > max_width)[0]
+    for cl in np.split(nz, splits + 1):
+        width = int(cl[-1] - cl[0]) + 1
+        assert width <= max_width, \
+            f"diff cluster at {cl[0]} spans {width} rows"
+        sub = d[cl[0]:cl[-1] + 1]
+        assert (sub.sum(axis=0) == 0).all(), \
+            f"cluster at {cl[0]} does not cancel per column: " \
+            f"{sub.sum(axis=0)}"
+
+
 def golden_ready(path: str) -> bool:
     """Golden artifact present AND non-empty.
 
