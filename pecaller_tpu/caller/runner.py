@@ -141,14 +141,22 @@ class _ChunkedStream:
         self._first = True
 
     def _read_more(self):
-        raw = self._tail + self._f.read(self._chunk)
-        if len(raw) == len(self._tail):
+        # decompress straight into a numpy buffer (readinto): bytes
+        # objects come from glibc malloc, which this VM's pager faults
+        # at ~40 MB/s; numpy buffers ride the hugepage allocator
+        buf = np.empty(len(self._tail) + self._chunk, dtype=np.uint8)
+        nt = len(self._tail)
+        if nt:
+            buf[:nt] = np.frombuffer(self._tail, dtype=np.uint8)
+        got = self._f.readinto(memoryview(buf[nt:]))
+        if not got:
             self._eof = True
             self._tail = b""
             return
-        usable = len(raw) - (len(raw) % self._REC.itemsize)
-        self._tail = raw[usable:]
-        rec = np.frombuffer(raw[:usable], dtype=self._REC)
+        total = nt + got
+        usable = total - (total % self._REC.itemsize)
+        self._tail = buf[usable:total].tobytes()
+        rec = buf[:usable].view(self._REC)
         if self._first and len(rec):
             # leading zero-position records dropped (pecaller.c:837-850)
             k = 0
@@ -326,15 +334,17 @@ class _Accum:
     def add(self, tot_cov, present, count_absent):
         n = tot_cov.shape[0]
         self.tot_bases += n
+        capped = np.minimum(tot_cov, MAX_DIST - 1)
         for i in range(self.counts_hist.shape[0]):
-            cov = tot_cov[present[:, i], i]
+            m = present[:, i]
+            cov = np.where(m, tot_cov[:, i], 0)
             self.mean_sum[i] += cov.sum()
-            if len(cov):
-                self.max_cov[i] = max(self.max_cov[i], cov.max())
+            self.max_cov[i] = max(self.max_cov[i], int(cov.max(initial=0)))
             self.counts_hist[i] += np.bincount(
-                np.minimum(cov, MAX_DIST - 1), minlength=MAX_DIST)
+                capped[:, i], weights=m, minlength=MAX_DIST).astype(
+                np.int64)[:MAX_DIST]
             self.base_count[i] += n if count_absent \
-                else int(present[:, i].sum())
+                else int(m.sum())
 
     def mean_done(self):
         return np.where(self.base_count > 0,
@@ -350,7 +360,9 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
     ph = ctx.get("ph") or _Phase()
     n_sites = len(all_pos)
     with ph("stats"):
-        st.add(data.astype(np.int64).sum(axis=2), present, count_absent)
+        # accumulate into i64 without materializing an i64 copy of data
+        tot_cov = data.sum(axis=2, dtype=np.int64)      # (S, I) all 6
+        st.add(tot_cov, present, count_absent)
 
     which = find_chrom_caller(frag_pos, sdx.n_contigs,
                               max((sdx.n_contigs - 1) // 2, 0), all_pos)
@@ -385,8 +397,10 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
     screen = ctx.get("screen")
     if screen is not None and len(cidx):
         from .device_screen import EASY, BAD
+        all_callable = len(cidx) == n_sites
         with ph("screen"):
-            codes = screen(data[cidx], ref_int[cidx].astype(np.uint8),
+            codes = screen(data if all_callable else data[cidx],
+                           ref_int[cidx].astype(np.uint8),
                            ctype[cidx].astype(np.uint8))
         # EASY: every active sample is hom-ref beyond the 2.3 beam
         # threshold -> the exact beam keeps one config; posterior is
@@ -396,8 +410,11 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
             sel_e = cidx[codes == EASY]
             if len(sel_e):
                 min_depth = 1 if cfg.haploid else 2
-                tot_e = data[sel_e].astype(np.int64)[..., :5].sum(axis=2)
-                act = tot_e > min_depth
+                # active uses depth WITHOUT the Ins column
+                # (pecaller.c:1233-1236): reuse tot_cov from the stats
+                # pass instead of re-reducing a fancy-indexed copy
+                tot5 = tot_cov[sel_e] - data[sel_e, :, 5]
+                act = tot5 > min_depth
                 out_active[sel_e] = act
                 out_calls[sel_e] = np.where(
                     act, ref_int[sel_e, None], 14).astype(np.int8)
