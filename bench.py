@@ -226,7 +226,8 @@ def bench_caller(d):
 
 def main():
     d = _prepare_data()
-    bench_caller(d)
+    if os.environ.get("PECALLER_BENCH_ONLY", "") != "map":
+        bench_caller(d)
     from pecaller_tpu.formats.sdx import read_sdx, read_seq
     from pecaller_tpu.formats.index_files import load_index
     from pecaller_tpu.formats.fastq import FastqBatcher
@@ -243,25 +244,30 @@ def main():
 
     batches = []
     batcher = FastqBatcher(os.path.join(d, "r1.fastq"),
-                           os.path.join(d, "r2.fastq"), batch_size=16384)
+                           os.path.join(d, "r2.fastq"), batch_size=8192)
     for b in batcher.batches():
         batches.append(b)
 
-    # warmup (compiles the fused map step for the steady + tail buckets)
-    s1, l1, s2, l2, nos = batches[0]
-    eng.map_batch(s1, l1, s2, l2, read_nos=nos)
+    # warmup (compiles the K-batch scan program for the steady bucket
+    # plus the single-batch program for the tail bucket)
+    K = getattr(eng, "_group_k", 1)
+    warm = [eng.map_batch_async(s1, l1, s2, l2, read_nos=nos)
+            for s1, l1, s2, l2, nos in batches[:K]]
+    for h in warm:
+        eng.resolve(h)
     st, lt, s2t, l2t, nt = batches[-1]
     eng.map_batch(st, lt, s2t, l2t, read_nos=nt)
 
     def one_pass():
         t0 = time.time()
         total = 0
+        depth = max(5, 2 * K + 1)
         pend = []
         for s1, l1, s2, l2, nos in batches:
             pend.append(eng.map_batch_async(s1, l1, s2, l2,
                                             read_nos=nos))
             total += 2 * len(l1)
-            if len(pend) >= 5:
+            if len(pend) >= depth:
                 eng.resolve(pend.pop(0))
         while pend:
             eng.resolve(pend.pop(0))

@@ -50,6 +50,98 @@ _CH = 1 << 23           # elements per streaming chunk
 NBR_HI_BITS = 28
 
 
+# --------------------------------------------------------------------------
+# cuckoo rank table: key -> (start, cnt_sat, abundant) in 3 device
+# gathers (2 tag probes + 1 value), replacing the ~10-gather two-level
+# binary search.  Two logical tables of 2^tb slots live concatenated in
+# one array; a slot's tag word is
+#     [31]=valid  [30]=abundant  [29:22]=min(count,255)  [21:0]=mix>>tb
+# (tag+slot reconstruct the full 32-bit invertible mix, so a tag match
+# identifies the key exactly; tb >= 10 keeps the tag <= 22 bits).  The
+# value word is the key's start offset into ``positions``.  Saturating
+# the count at 255 is lossless for the consumers: it only feeds
+# min(.,seg_cap), the >seg_cap spill test, and the >200 min_spots wipe.
+
+def _mix1(x):
+    x = np.asarray(x, np.uint32).copy()
+    x ^= x >> np.uint32(16); x *= np.uint32(0x85EBCA6B)   # noqa: E702
+    x ^= x >> np.uint32(13); x *= np.uint32(0xC2B2AE35)   # noqa: E702
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def _mix2(x):
+    x = np.asarray(x, np.uint32).copy()
+    x ^= x >> np.uint32(17); x *= np.uint32(0xED5AD4BB)   # noqa: E702
+    x ^= x >> np.uint32(11); x *= np.uint32(0xAC4C1B51)   # noqa: E702
+    x ^= x >> np.uint32(15); x *= np.uint32(0x31848BAB)   # noqa: E702
+    x ^= x >> np.uint32(14)
+    return x
+
+
+def build_cuckoo(nkeys: np.ndarray, val_start: np.ndarray,
+                 max_rounds: int = 400):
+    """Build the 2-table cuckoo rank table.  Returns (tagt, valt, tb)
+    or None if placement fails (caller keeps the binary-search path).
+
+    Insertion is vectorized: each round writes all pending keys with
+    first-come-wins (reversed fancy assignment), re-pends the losers and
+    the displaced occupants with the table flipped.  At <=45%% load this
+    converges in a few dozen geometric rounds.
+    """
+    nn = len(nkeys)
+    tb = 10
+    while (1 << tb) * 10 < nn * 11:          # per-table load <= ~0.55/2
+        tb += 1
+    T = 1 << tb
+    tagt = hp_empty(2 * T, np.uint32)
+    tagt[:] = 0
+    valt = hp_empty(2 * T, np.uint32)
+    valt[:] = 0
+    keysc = hp_empty(2 * T, np.uint32)
+
+    if nn == 0:
+        return tagt, valt, tb
+
+    mask31 = np.uint32((1 << 31) - 1)
+    k = np.asarray(nkeys, np.uint32)
+    v0 = np.asarray(val_start[:-1])
+    v1 = np.asarray(val_start[1:])
+    start = (v0 & mask31).astype(np.uint32)
+    cnt = np.minimum((v1 & mask31).astype(np.int64) - start.astype(np.int64),
+                     255).astype(np.uint32)
+    ab = (v0 >> np.uint32(31)).astype(np.uint32)
+    tab = np.zeros(nn, np.uint8)
+
+    for _ in range(max_rounds):
+        m = np.where(tab == 0, _mix1(k), _mix2(k))
+        slot = tab.astype(np.int64) * T + (m & np.uint32(T - 1))
+        occ_tag = tagt[slot]
+        occ_val = valt[slot]
+        occ_key = keysc[slot]
+        occupied = (occ_tag >> np.uint32(31)) != 0
+        tagw = (np.uint32(1 << 31) | (ab << np.uint32(30))
+                | (cnt << np.uint32(22)) | (m >> np.uint32(tb)))
+        rs = slot[::-1]
+        tagt[rs] = tagw[::-1]
+        valt[rs] = start[::-1]
+        keysc[rs] = k[::-1]
+        won = keysc[slot] == k
+        ev = occupied & won
+        lost = ~won
+        nk = np.concatenate([k[lost], occ_key[ev]])
+        if len(nk) == 0:
+            return tagt, valt, tb
+        nstart = np.concatenate([start[lost], occ_val[ev]])
+        ncnt = np.concatenate(
+            [cnt[lost], (occ_tag[ev] >> np.uint32(22)) & np.uint32(0xFF)])
+        nab = np.concatenate(
+            [ab[lost], (occ_tag[ev] >> np.uint32(30)) & np.uint32(1)])
+        ntab = np.concatenate([1 - tab[lost], 1 - tab[ev]])
+        k, start, cnt, ab, tab = nk, nstart, ncnt, nab, ntab
+    return None
+
+
 class NbrIndex:
     """Host-side container for the inverted neighborhood index.
 
@@ -65,11 +157,24 @@ class NbrIndex:
       hi_table  int32  (2^NBR_HI_BITS + 1) prefix counts over key>>6
     """
 
-    def __init__(self, nkeys, val_start, positions, hi_table):
+    def __init__(self, nkeys, val_start, positions, hi_table,
+                 hash_tag=None, hash_val=None):
         self.nkeys = nkeys
         self.val_start = val_start
         self.positions = positions
         self.hi_table = hi_table
+        # optional cuckoo rank table (see build_cuckoo); when present
+        # the device uses it instead of nkeys/val_start/hi_table
+        self.hash_tag = hash_tag
+        self.hash_val = hash_val
+
+    def with_cuckoo(self):
+        if self.hash_tag is None:
+            built = build_cuckoo(np.asarray(self.nkeys),
+                                 np.asarray(self.val_start))
+            if built is not None:
+                self.hash_tag, self.hash_val, _ = built
+        return self
 
 
 def build_nbr_index(index: SeedIndex,
@@ -179,7 +284,7 @@ def build_nbr_index(index: SeedIndex,
                     hi_table.astype(np.int32))
 
 
-_PARTS = ("nkeys", "vstart", "pos", "hi")
+_PARTS = ("nkeys", "vstart", "pos", "hi", "ctag", "cval")
 
 
 def _cache_paths(basename: str):
@@ -196,20 +301,36 @@ def load_nbr_index(basename: str, index: SeedIndex,
     straight from the page cache into the device transfer."""
     ps = _cache_paths(basename)
     mdx = basename + ".mdx"
-    fresh = cache and all(os.path.exists(p) for p in ps.values())
+    core = [ps[k] for k in ("nkeys", "vstart", "pos", "hi")]
+    fresh = cache and all(os.path.exists(p) for p in core)
     if fresh and os.path.exists(mdx):
         fresh = all(os.path.getmtime(p) >= os.path.getmtime(mdx)
-                    for p in ps.values())
+                    for p in core)
     if fresh:
-        a = {k: np.load(p, mmap_mode="r") for k, p in ps.items()}
-        return NbrIndex(a["nkeys"], a["vstart"], a["pos"], a["hi"])
+        a = {k: np.load(p, mmap_mode="r") for k, p in ps.items()
+             if os.path.exists(p)}
+        nbr = NbrIndex(a["nkeys"], a["vstart"], a["pos"], a["hi"],
+                       hash_tag=a.get("ctag"), hash_val=a.get("cval"))
+        if nbr.hash_tag is None:
+            nbr.with_cuckoo()
+            if cache and nbr.hash_tag is not None:
+                try:
+                    np.save(ps["ctag"], nbr.hash_tag)
+                    np.save(ps["cval"], nbr.hash_val)
+                except OSError:
+                    pass
+        return nbr
     nbr = build_nbr_index(index, max_positions=max_positions)
+    nbr.with_cuckoo()
     if cache:
         try:
             np.save(ps["nkeys"], nbr.nkeys)
             np.save(ps["vstart"], nbr.val_start)
             np.save(ps["pos"], nbr.positions)
             np.save(ps["hi"], nbr.hi_table)
+            if nbr.hash_tag is not None:
+                np.save(ps["ctag"], nbr.hash_tag)
+                np.save(ps["cval"], nbr.hash_val)
         except OSError:
             pass
     return nbr

@@ -90,21 +90,43 @@ def pack_genome(genome: np.ndarray):
 
 
 class NbrDeviceIndex:
-    """Device-resident arrays for an NbrIndex (rank tables + positions)."""
+    """Device-resident arrays for an NbrIndex.
+
+    Two rank-lookup modes:
+      * "hash" (default when the NbrIndex carries a cuckoo table): 3
+        gathers per probe — 2 tag probes + 1 value (see nbr.build_cuckoo)
+      * "binsearch": the two-level hi_table + log-step search (~10
+        gathers per probe); kept as the fallback when cuckoo placement
+        fails
+    """
 
     def __init__(self, nbr: NbrIndex):
         import jax.numpy as jnp
-        ht = np.asarray(nbr.hi_table)
         self.n_keys = len(nbr.nkeys)
-        sub = np.diff(ht)
-        self.max_subrange = int(sub.max()) if self.n_keys else 1
-        self.n_steps = max(1, int(np.ceil(np.log2(
-            max(self.max_subrange, 2)))) + 1)
-        # arrays arrive pre-split in device layout (possibly mmap'ed)
-        self.nkeys = jnp.asarray(nbr.nkeys)
-        self.hi_table = jnp.asarray(ht)
-        self.val_start = jnp.asarray(nbr.val_start)   # nn+1, ab<<31
-        self.positions = jnp.asarray(nbr.positions)
+        if nbr.hash_tag is None and os.environ.get(
+                "PECALLER_NO_CUCKOO") != "1":
+            nbr.with_cuckoo()
+        if nbr.hash_tag is not None and os.environ.get(
+                "PECALLER_NO_CUCKOO") != "1":
+            self.mode = "hash"
+            self.tb = int(np.log2(len(nbr.hash_tag) // 2))
+            self.positions = jnp.asarray(nbr.positions)
+            self.args = (jnp.asarray(nbr.hash_tag),
+                         jnp.asarray(nbr.hash_val), self.positions)
+        else:
+            self.mode = "binsearch"
+            ht = np.asarray(nbr.hi_table)
+            sub = np.diff(ht)
+            self.max_subrange = int(sub.max()) if self.n_keys else 1
+            self.n_steps = max(1, int(np.ceil(np.log2(
+                max(self.max_subrange, 2)))) + 1)
+            # arrays arrive pre-split in device layout (possibly mmap'ed)
+            self.nkeys = jnp.asarray(nbr.nkeys)
+            self.hi_table = jnp.asarray(ht)
+            self.val_start = jnp.asarray(nbr.val_start)   # nn+1, ab<<31
+            self.positions = jnp.asarray(nbr.positions)
+            self.args = (self.nkeys, self.val_start, self.hi_table,
+                         self.positions)
 
 
 # --------------------------------------------------------------------------
@@ -115,7 +137,8 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                       n_contigs: int, genome_size: int,
                       B: int, M: int, N: int, s_max: int,
                       seg_cap: int = 16, ins_cap: int = INS_CAP,
-                      h_factor: float = 1.5, jit: bool = True):
+                      h_factor: float = 1.5, jit: bool = True,
+                      max_rlen: int | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -126,8 +149,12 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
     H_CAP = ((int(h_factor * U) + 255) // 256) * 256
     PW = (M + 15) // 16                      # packed read words
     NW = N // 16 + 2                         # packed window words
-    R_ROWS = min(N, M + 2 * MISALIGN_SLOP + 1)   # max usable DP rows
-    n_steps = dnbr.n_steps
+    # max usable DP rows: windows span at most max_rlen + 2*slop + 1
+    # bases, so rows beyond that are dead weight in the SW/traceback
+    # kernels and the pileup scatter (M is 16-padded; max_rlen is the
+    # batch's true 8-bucketed max read length)
+    R_ROWS = min(N, (max_rlen or M) + 2 * MISALIGN_SLOP + 1)
+    n_steps = getattr(dnbr, "n_steps", 1)
     n_keys = dnbr.n_keys
     chrom_steps = max(3, int(np.ceil(np.log2(max(n_contigs, 2)))) + 3)
     SBIG = jnp.int32(2**31 - 1)
@@ -252,44 +279,96 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                 jnp.zeros((U, CAP), jnp.int8), jnp.zeros(U, jnp.int32),
                 jnp.zeros(U, bool))
 
-    def seed_nbr(nkeys, val_start, hi_table, positions,
-                 xcode_f, xcode_r, offsets, n_segs, min_match0, skip):
+    n_idx = len(dnbr.args)
+    hash_mode = dnbr.mode == "hash"
+
+    def seed_nbr(idx_args, xcode_f, xcode_r, offsets, n_segs,
+                 min_match0, skip):
         """(U, ...) unit-major seed probing + chaining.  Semantics match
         device_seeds.seed_chain_core (itself pemapper.c:1539-1690 /
         :2188-2289) with the 49-key expansion replaced by the inverted
         index."""
+        positions = idx_args[-1]
         # keys on converted codes (convert_ct, pemapper.c:2292-2300)
         if bisulfite:
             conv = lambda x: jnp.where(x == 1, jnp.uint8(3), x & 3)  # noqa
         else:
             conv = lambda x: x & 3                                   # noqa
-        kf = rolling_keys(conv(xcode_f), offsets)
-        kr = rolling_keys(conv(xcode_r), offsets)
-        keys2 = jnp.stack([kf, kr], axis=1)            # (U, 2, S)
+        if "keys" in PROF_SKIP:
+            keys2 = (jnp.zeros((U, 2, S), jnp.uint32)
+                     + xcode_f[:, :1, None] + xcode_r[:, :1, None])
+        else:
+            kf = rolling_keys(conv(xcode_f), offsets)
+            kr = rolling_keys(conv(xcode_r), offsets)
+            keys2 = jnp.stack([kf, kr], axis=1)        # (U, 2, S)
         if SSTAGE == 11:
             return _seed_dummy(keys2)
 
-        # rank lookup
-        hi = (keys2 >> (32 - NBR_HI_BITS_DEV)).astype(jnp.int32)
-        lo = hi_table[hi]
-        hi_end = hi_table[hi + 1]
-        for _ in range(n_steps):
-            cont = lo < hi_end
-            mid = (lo + hi_end) >> 1
-            v = nkeys[jnp.clip(mid, 0, max(n_keys - 1, 0))]
-            pred = v < keys2
-            lo = jnp.where(cont & pred, mid + 1, lo)
-            hi_end = jnp.where(cont & ~pred, mid, hi_end)
-        idx = jnp.clip(lo, 0, max(n_keys - 1, 0))
-        present = (nkeys[idx] == keys2) & (n_keys > 0)
-        v0 = val_start[idx]
-        v1 = val_start[idx + 1]
-        mask31 = jnp.uint32((1 << 31) - 1)
-        start = jnp.where(present, v0 & mask31, 0).astype(jnp.int32)
-        cnt_exact = jnp.where(
-            present, (v1 & mask31).astype(jnp.int32) - start, 0)
-        cnt_sat = jnp.minimum(cnt_exact, 255)          # decisions only
-        abund = jnp.where(present, v0 >> 31, 0)
+        if hash_mode:
+            # cuckoo rank lookup: 2 tag probes + 1 value gather
+            tagt, valt = idx_args[0], idx_args[1]
+            tb = dnbr.tb
+            TT = jnp.int32(1 << tb)
+
+            def mix1(x):
+                x = x ^ (x >> 16)
+                x = x * jnp.uint32(0x85EBCA6B)
+                x = x ^ (x >> 13)
+                x = x * jnp.uint32(0xC2B2AE35)
+                return x ^ (x >> 16)
+
+            def mix2(x):
+                x = x ^ (x >> 17)
+                x = x * jnp.uint32(0xED5AD4BB)
+                x = x ^ (x >> 11)
+                x = x * jnp.uint32(0xAC4C1B51)
+                x = x ^ (x >> 15)
+                x = x * jnp.uint32(0x31848BAB)
+                return x ^ (x >> 14)
+
+            m1 = mix1(keys2)
+            m2 = mix2(keys2)
+            h1 = (m1 & jnp.uint32((1 << tb) - 1)).astype(jnp.int32)
+            h2 = TT + (m2 & jnp.uint32((1 << tb) - 1)).astype(jnp.int32)
+            e1 = tagt[h1]
+            e2 = tagt[h2]
+            tfm = jnp.uint32((1 << 22) - 1)
+            hit1 = ((e1 >> 31) != 0) & ((e1 & tfm) == (m1 >> tb))
+            hit2 = ((e2 >> 31) != 0) & ((e2 & tfm) == (m2 >> tb))
+            present = hit1 | hit2
+            e = jnp.where(hit1, e1, e2)
+            hsel = jnp.where(hit1, h1, h2)
+            start = jnp.where(present, valt[hsel],
+                              jnp.uint32(0)).astype(jnp.int32)
+            cnt_sat = jnp.where(
+                present, ((e >> 22) & jnp.uint32(0xFF)).astype(jnp.int32),
+                0)
+            abund = jnp.where(present, (e >> 30) & jnp.uint32(1),
+                              jnp.uint32(0))
+        else:
+            # two-level binary-search rank lookup
+            nkeys, val_start, hi_table = (idx_args[0], idx_args[1],
+                                          idx_args[2])
+            hi = (keys2 >> (32 - NBR_HI_BITS_DEV)).astype(jnp.int32)
+            lo = hi_table[hi]
+            hi_end = hi_table[hi + 1]
+            for _ in range(0 if "rank" in PROF_SKIP else n_steps):
+                cont = lo < hi_end
+                mid = (lo + hi_end) >> 1
+                v = nkeys[jnp.clip(mid, 0, max(n_keys - 1, 0))]
+                pred = v < keys2
+                lo = jnp.where(cont & pred, mid + 1, lo)
+                hi_end = jnp.where(cont & ~pred, mid, hi_end)
+            idx = jnp.clip(lo, 0, max(n_keys - 1, 0))
+            present = (nkeys[idx] == keys2) & (n_keys > 0)
+            v0 = val_start[idx]
+            v1 = val_start[idx + 1]
+            mask31 = jnp.uint32((1 << 31) - 1)
+            start = jnp.where(present, v0 & mask31, 0).astype(jnp.int32)
+            cnt_exact = jnp.where(
+                present, (v1 & mask31).astype(jnp.int32) - start, 0)
+            cnt_sat = jnp.minimum(cnt_exact, 255)      # decisions only
+            abund = jnp.where(present, v0 >> 31, 0)
         if SSTAGE == 12:
             return _seed_dummy(start, cnt_sat, abund.astype(jnp.int32))
 
@@ -304,10 +383,17 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         # (a flat seg_cap-wide gather costs ~75 ms/batch at 18 ns/elem)
         take = jnp.minimum(seg_tot, seg_cap)
         pmax = max(positions.shape[0] - 1, 0)
-        T1 = min(4, seg_cap)
+        # expected positions/probe is ~1 + 48*genome_density (~1.05 for
+        # E. coli): T1=2 covers the common case; heavier probes ride the
+        # compacted spill tier
+        T1 = min(2, seg_cap)
         g1 = start[..., None] + jnp.arange(T1, dtype=jnp.int32)
         gval1 = jnp.arange(T1) < take[..., None]
-        pos = jnp.where(gval1, positions[jnp.clip(g1, 0, pmax)], POS_PAD)
+        if "posgather" in PROF_SKIP:
+            pos = jnp.where(gval1, g1 & 0xFFFFF, POS_PAD)
+        else:
+            pos = jnp.where(gval1, positions[jnp.clip(g1, 0, pmax)],
+                            POS_PAD)
         heavy_over = jnp.zeros(U, bool)
         if seg_cap > T1:
             T2 = seg_cap - T1
@@ -327,8 +413,11 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             g2 = hstart[:, None] + T1 + jnp.arange(T2, dtype=jnp.int32)
             hval = (h_ok[:, None] &
                     (T1 + jnp.arange(T2) < htake[:, None]))
-            hpos = jnp.where(hval, positions[jnp.clip(g2, 0, pmax)],
-                             POS_PAD)
+            if "posgather" in PROF_SKIP:
+                hpos = jnp.where(hval, g2 & 0xFFFFF, POS_PAD)
+            else:
+                hpos = jnp.where(hval, positions[jnp.clip(g2, 0, pmax)],
+                                 POS_PAD)
             tail = jnp.full((NF + 1, T2), POS_PAD, jnp.int32).at[
                 jnp.where(h_ok, hsrc, NF), :].set(hpos, mode="drop")
             pos = jnp.concatenate(
@@ -342,7 +431,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         anchor_valid = pos < POS_PAD
         T = jnp.ones(pos.shape, jnp.int32)
         seg_in_read = (jnp.arange(S)[None, :] <= (n_segs - 1)[:, None])
-        for dd in range(1, S):
+        for dd in range(1, 1 if "chain" in PROF_SKIP else S):
             a = diag[:, :, :S - dd, :]
             bseg = diag[:, :, dd:, :]
             near = jnp.abs(a[..., :, None] - bseg[..., None, :]) < max_off
@@ -380,31 +469,40 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         # pairwise first-occurrence dedup, chunked over the q axis to
         # bound the (U, F, QC) intermediate
         QC = 64
-        dup_parts = []
-        for q0 in range(0, F, QC):
-            q1 = q0 + QC
-            tri = (jnp.arange(F)[:, None] <
-                   jnp.arange(q0, q1)[None, :])          # p < q
-            dup_parts.append(
-                ((dg[:, :, None] == dg[:, None, q0:q1]) & acc[:, :, None]
-                 & tri[None]).any(axis=1))
-        dup = jnp.concatenate(dup_parts, axis=1)
+        if "dedup" in PROF_SKIP:
+            dup = jnp.zeros((U, F), bool)
+        else:
+            dup_parts = []
+            for q0 in range(0, F, QC):
+                q1 = q0 + QC
+                tri = (jnp.arange(F)[:, None] <
+                       jnp.arange(q0, q1)[None, :])      # p < q
+                dup_parts.append(
+                    ((dg[:, :, None] == dg[:, None, q0:q1])
+                     & acc[:, :, None] & tri[None]).any(axis=1))
+            dup = jnp.concatenate(dup_parts, axis=1)
         keep = acc & ~dup
         n_keep = keep.sum(axis=1)
         if SSTAGE == 15:
             return _seed_dummy(keep.astype(jnp.int32), n_keep)
 
-        rank = jnp.cumsum(keep, axis=1) - 1
-        sel = keep[:, :, None] & (rank[:, :, None] ==
-                                  jnp.arange(CAP)[None, None, :])
-        orient_f = (jnp.arange(F, dtype=jnp.int32) //
-                    (S * seg_cap))[None, :, None]
-        # per-anchor segment offset: repeat/tile, no gather
-        off_f = jnp.tile(jnp.repeat(offsets, seg_cap, axis=1), (1, 2))
-        hits = jnp.sum(jnp.where(sel, posf[:, :, None], 0), axis=1)
-        hits_off = jnp.sum(jnp.where(sel, off_f[:, :, None], 0), axis=1)
-        orient = jnp.sum(jnp.where(sel, orient_f, 0), axis=1) \
-            .astype(jnp.int8)
+        if "select" in PROF_SKIP:
+            hits = jnp.tile(posf[:, :CAP], (1, 1))
+            hits_off = jnp.zeros((U, CAP), jnp.int32)
+            orient = jnp.zeros((U, CAP), jnp.int8)
+        else:
+            rank = jnp.cumsum(keep, axis=1) - 1
+            sel = keep[:, :, None] & (rank[:, :, None] ==
+                                      jnp.arange(CAP)[None, None, :])
+            orient_f = (jnp.arange(F, dtype=jnp.int32) //
+                        (S * seg_cap))[None, :, None]
+            # per-anchor segment offset: repeat/tile, no gather
+            off_f = jnp.tile(jnp.repeat(offsets, seg_cap, axis=1), (1, 2))
+            hits = jnp.sum(jnp.where(sel, posf[:, :, None], 0), axis=1)
+            hits_off = jnp.sum(jnp.where(sel, off_f[:, :, None], 0),
+                               axis=1)
+            orient = jnp.sum(jnp.where(sel, orient_f, 0), axis=1) \
+                .astype(jnp.int8)
 
         tot = jnp.minimum(n_keep, CAP).astype(jnp.int32)
         fallback = (seg_over.any((1, 2)) | heavy_over |
@@ -568,6 +666,11 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
     # PECALLER_STAGE truncates the step for profiling: 1 seeds,
     # 2 +compaction/windows, 3 +SW, 4 +decide, 5 +traceback, 6 full
     STAGE = int(os.environ.get("PECALLER_STAGE", "6"))
+    # PECALLER_PROF_SKIP: comma-set of {rank,posgather,windows,sw,tb,
+    # scatter} — knock out ONE pipeline piece (wrong results, correct
+    # shapes) so full-minus-one timing isolates its cost
+    PROF_SKIP = set(filter(None, os.environ.get(
+        "PECALLER_PROF_SKIP", "").split(",")))
 
     def _stage_out(dev_counts, *xs):
         acc = jnp.zeros((), jnp.int32)
@@ -576,20 +679,29 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         out = jnp.zeros((B + ins_cap + 1, 6), jnp.int32).at[0, 0].set(acc)
         return dev_counts, out
 
-    def step(dev_counts, nkeys, val_start, hi_table, positions,
-             gcode, gmask, ist, st_pad,
-             seqs_u, lens, offsets, n_segs, mm0, thr, fb_pad):
-        """All (U, ...) unit-major inputs (end-major: end1 rows then
+    def step(dev_counts, *rest):
+        """step(dev_counts, *dnbr.args, gcode, gmask, ist, st_pad,
+        seqs_u, lens, offsets, n_segs, mm0, thr, fb_pad).
+
+        All (U, ...) unit-major inputs (end-major: end1 rows then
         end2).  Returns (dev_counts, out (B+ins_cap+1, 6) int32: rows
         [:B] = [m1, m2, code, orb1, orb2, fb]; rows [B:] = insertion
         records [unit, gpos, jstart, len, n_ins-tail-marker])."""
-        xf, xr, skip, exotic = prep_reads_dev(seqs_u, lens)
+        idx_args = rest[:n_idx]
+        (gcode, gmask, ist, st_pad, seqs_u, lens, offsets, n_segs,
+         mm0, thr, fb_pad) = rest[n_idx:]
+        if "prep" in PROF_SKIP:
+            xf = (seqs_u & 3).astype(jnp.uint8)
+            xr = xf[:, ::-1]
+            skip = jnp.zeros(U, jnp.int32)
+            exotic = jnp.zeros(U, bool)
+        else:
+            xf, xr, skip, exotic = prep_reads_dev(seqs_u, lens)
         x4f_w = pack4_dev(xf)
         x4r_w = pack4_dev(xr)
 
         hits, hits_off, orient, tot, fb = seed_nbr(
-            nkeys, val_start, hi_table, positions,
-            xf, xr, offsets, n_segs, mm0, skip)
+            idx_args, xf, xr, offsets, n_segs, mm0, skip)
         fb = pairize(fb | fb_pad | exotic)
         tot = jnp.where(fb, 0, tot)
         # units whose hits spill past H_CAP fall back (cap semantics)
@@ -617,7 +729,11 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         lens_s = lens[rid_c].astype(jnp.int32)
         start_s, blen_s = windows(st_pad, ist, spots_s, lens_s)
         blen_m = jnp.where(slot_ok, blen_s, 0).astype(jnp.int32)
-        refs_x, exo = fetch_windows(gcode, gmask, start_s, blen_m)
+        if "windows" in PROF_SKIP:
+            refs_x = jnp.zeros((H_CAP, N), jnp.uint8)
+            exo = jnp.zeros(H_CAP, bool)
+        else:
+            refs_x, exo = fetch_windows(gcode, gmask, start_s, blen_m)
         ors_s = orient[rid_c, hid_s]
         # packed-word row gathers, then unpack (byte-wise row gathers
         # cost ~8 ns/elem; word-wise are 8x fewer elements)
@@ -628,8 +744,13 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             return _stage_out(dev_counts, refs_x, reads_s, start_s,
                               blen_m, exo)
 
-        score, bk, bi = sw_align(refs_x, blen_m, reads_s, rlens_s,
-                                 bisulfite, R_ROWS)
+        if "sw" in PROF_SKIP:
+            score = rlens_s * 36
+            bk = jnp.zeros(H_CAP, jnp.int32)
+            bi = jnp.minimum(rlens_s, blen_m)
+        else:
+            score, bk, bi = sw_align(refs_x, blen_m, reads_s, rlens_s,
+                                     bisulfite, R_ROWS)
         if STAGE == 3:
             return _stage_out(dev_counts, score, bk, bi)
 
@@ -647,7 +768,11 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         smax = jnp.where(fb[:, None], PAD_SCORE, smax)
 
         # --- decide -------------------------------------------------------
-        if paired:
+        if "decide" in PROF_SKIP:
+            code_out = jnp.zeros(B, jnp.int32)
+            best_u = jnp.zeros(U, jnp.int32)
+            use_u = (tot > 0).astype(jnp.int32)
+        elif paired:
             e1 = dict(smax=smax[:B], pos=pos_tab[:B], tot=tot[:B],
                       orient=orient[:B])
             e2 = dict(smax=smax[B:], pos=pos_tab[B:], tot=tot[B:],
@@ -693,9 +818,14 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         rlens_w = jnp.where(w_ok, lens[uw].astype(jnp.int32), 1)
         refs_w, _ = fetch_windows(gcode, gmask, start_w, blen_w)
 
-        ev_kind, ins_j, ins_len = sw_traceback(
-            refs_w, blen_w, reads_w, rlens_w, k_w, i_w, bisulfite,
-            R_ROWS)
+        if "tb" in PROF_SKIP:
+            ev_kind = jnp.zeros((U, R_ROWS), jnp.int8)
+            ins_j = jnp.full((U, R_ROWS), -1, jnp.int32)
+            ins_len = jnp.zeros((U, R_ROWS), jnp.int32)
+        else:
+            ev_kind, ins_j, ins_len = sw_traceback(
+                refs_w, blen_w, reads_w, rlens_w, k_w, i_w, bisulfite,
+                R_ROWS)
         if STAGE == 5:
             return _stage_out(dev_counts, ev_kind, ins_j, ins_len)
 
@@ -705,8 +835,12 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         okev = (ev_kind != sw2.EV_NONE) & w_ok[:, None]
         flat_idx = jnp.where(
             okev, pos_abs * 6 + ev_kind.astype(jnp.int32), 0).reshape(-1)
-        dev_counts = dev_counts.at[flat_idx].add(
-            okev.reshape(-1).astype(jnp.uint32), mode="drop")
+        if "scatter" in PROF_SKIP:
+            dev_counts = dev_counts.at[0].add(
+                flat_idx.astype(jnp.uint32).sum())
+        else:
+            dev_counts = dev_counts.at[flat_idx].add(
+                okev.reshape(-1).astype(jnp.uint32), mode="drop")
         insm = (ins_j >= 0) & w_ok[:, None]
         # insertion count column (rare): compact then scatter tiny
         fi = insm.reshape(-1)
@@ -755,6 +889,40 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
     return step
 
 
+def build_fused_multi(dnbr: NbrDeviceIndex, *, K: int, paired: bool,
+                      bisulfite: bool, min_dist: int, max_dist: int,
+                      n_contigs: int, genome_size: int,
+                      B: int, M: int, N: int, s_max: int,
+                      max_rlen: int | None = None):
+    """K batches per device program via lax.scan over the SINGLE-batch
+    step (identical per-batch semantics: every cap/fallback is evaluated
+    at batch scope).  One dispatch + one fetch RPC per K batches — the
+    tunnel RPC latency (~25 ms each way on this chip) was the largest
+    serial per-batch cost left after round 2."""
+    import jax
+    import jax.numpy as jnp
+
+    raw = build_fused_step2(
+        dnbr, paired=paired, bisulfite=bisulfite, min_dist=min_dist,
+        max_dist=max_dist, n_contigs=n_contigs, genome_size=genome_size,
+        B=B, M=M, N=N, s_max=s_max, jit=False,
+        max_rlen=max_rlen)
+
+    n_idx = len(dnbr.args)
+
+    def multi(dev_counts, *rest):
+        fixed = rest[:n_idx + 4]        # index arrays + genome/contigs
+        xs_in = rest[n_idx + 4:]
+
+        def body(dc, xs):
+            dc, out = raw(dc, *fixed, *xs)
+            return dc, out
+        dev_counts, outs = jax.lax.scan(body, dev_counts, tuple(xs_in))
+        return dev_counts, outs
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def _sw_fns(N):
     """Pick SW align/traceback implementations: Pallas kernels on TPU,
     XLA elsewhere or when PECALLER_NO_PALLAS=1."""
@@ -790,12 +958,23 @@ class FusedMapperEngine2(MapperEngine):
     device pipeline).  Same public API as FusedMapperEngine."""
 
     def __init__(self, *args, nbr: NbrIndex | None = None, mesh=None,
-                 **kwargs):
+                 group_k: int | None = None, **kwargs):
         super().__init__(*args, **kwargs)
         from ..utils import enable_compilation_cache
         enable_compilation_cache()
+        import jax
         import jax.numpy as jnp
         self._jnp = jnp
+        if group_k is None:
+            # measured on the tunneled v5e: the K-batch scan program runs
+            # ~same per batch as the single-batch program while its host
+            # staging (np.stack + deferred group fetch) serializes ~35 ms
+            # per batch that the depth-pipelined single path overlaps, so
+            # grouping is opt-in (useful if dispatch RPC latency ever
+            # dominates again)
+            group_k = int(os.environ.get("PECALLER_GROUP_K", "1"))
+        self._group_k = max(1, group_k)
+        self._staged = []
         gs = self.sdx.genome_size
         if gs >= 2**30:
             raise ValueError("fused device engine requires genome < 2^30 "
@@ -828,8 +1007,8 @@ class FusedMapperEngine2(MapperEngine):
         self._fns = {}
         self.n_fallback = 0
 
-    def _fn_for(self, B, M, N, s_max):
-        key = (B, M, N, s_max)
+    def _fn_for(self, B, M, N, s_max, mr=None):
+        key = (B, M, N, s_max, mr)
         if key not in self._fns:
             if self._n_sh > 1:
                 from ..parallel.mesh import sharded_fused_step2
@@ -838,15 +1017,56 @@ class FusedMapperEngine2(MapperEngine):
                     bisulfite=self.bisulfite, min_dist=self.min_dist,
                     max_dist=self.max_dist, n_contigs=self.sdx.n_contigs,
                     genome_size=self.sdx.genome_size,
-                    B=B, M=M, N=N, s_max=s_max)[0]
+                    B=B, M=M, N=N, s_max=s_max, max_rlen=mr)[0]
             else:
                 self._fns[key] = build_fused_step2(
                     self._dnbr, paired=self.paired,
                     bisulfite=self.bisulfite, min_dist=self.min_dist,
                     max_dist=self.max_dist, n_contigs=self.sdx.n_contigs,
                     genome_size=self.sdx.genome_size,
-                    B=B, M=M, N=N, s_max=s_max)
+                    B=B, M=M, N=N, s_max=s_max, max_rlen=mr)
         return self._fns[key]
+
+    def _mfn_for(self, K, B, M, N, s_max, mr=None):
+        key = (K, B, M, N, s_max, mr)
+        if key not in self._fns:
+            self._fns[key] = build_fused_multi(
+                self._dnbr, K=K, paired=self.paired,
+                bisulfite=self.bisulfite, min_dist=self.min_dist,
+                max_dist=self.max_dist, n_contigs=self.sdx.n_contigs,
+                genome_size=self.sdx.genome_size,
+                B=B, M=M, N=N, s_max=s_max, max_rlen=mr)
+        return self._fns[key]
+
+    def _dispatch_one(self, h):
+        fn = self._fn_for(*h["key"])
+        self.dev_counts, out = fn(
+            self.dev_counts, *self._dnbr.args, self._gcode, self._gmask,
+            self._ist_dev, self._st_pad_dev, *h["ins"])
+        h["out"] = out
+        del h["ins"]
+
+    def _flush_staged(self):
+        staged, self._staged = self._staged, []
+        if not staged:
+            return
+        if len(staged) < self._group_k:
+            # tail/partial group: single-batch dispatches (bounds the
+            # compile set to one scan program per shape key)
+            for h in staged:
+                self._dispatch_one(h)
+            return
+        mfn = self._mfn_for(len(staged), *staged[0]["key"])
+        xs = [np.stack([h["ins"][j] for h in staged])
+              for j in range(len(staged[0]["ins"]))]
+        self.dev_counts, outs = mfn(
+            self.dev_counts, *self._dnbr.args, self._gcode, self._gmask,
+            self._ist_dev, self._st_pad_dev, *xs)
+        g = dict(outs=outs, host=None)
+        for i, h in enumerate(staged):
+            h["group"] = g
+            h["gi"] = i
+            del h["ins"]
 
     def _prep_end2(self, seqs, lens, B, M, s_max):
         """Light host prep: pad the raw reads + per-read scalars (all
@@ -884,9 +1104,10 @@ class FusedMapperEngine2(MapperEngine):
             maxlen = max(maxlen, int(lens2.max()) if len(lens2) else 32)
         M = _pad_to(max(maxlen, 32), 16)
         N = _pad_to(M + 2 * MISALIGN_SLOP + 1, 16)
+        mr = _pad_to(max(maxlen, 32), 8)
         n_segs = max(1, maxlen // 16)
         s_max = self._seg_bucket(n_segs)
-        fn = self._fn_for(B, M, N, s_max)
+        fn = self._fn_for(B, M, N, s_max, mr)
         a1 = self._prep_end2(seqs1, lens1, B, M, s_max)
         if self.paired:
             a2 = self._prep_end2(seqs2, lens2, B, M, s_max)
@@ -898,19 +1119,36 @@ class FusedMapperEngine2(MapperEngine):
             from ..parallel.mesh import shard_units
             ins = [shard_units(x, self._n_sh, B, self.paired)
                    for x in ins]
-        (seqs_u, lens_u, offs, nsg, mm0, thr, fb_pad) = ins
-        d = self._dnbr
+        h = dict(seqs1=seqs1, lens1=lens1, seqs2=seqs2, lens2=lens2,
+                 read_nos=read_nos, n=seqs1.shape[0], B=B,
+                 key=(B, M, N, s_max), ins=ins)
+        if self._group_k > 1 and self._n_sh == 1:
+            # stage; dispatch K batches as ONE scanned device program
+            # (2 tunnel RPCs per K batches instead of per batch)
+            if self._staged and self._staged[0]["key"] != h["key"]:
+                self._flush_staged()
+            self._staged.append(h)
+            if len(self._staged) >= self._group_k:
+                self._flush_staged()
+            return h
         self.dev_counts, out = fn(
-            self.dev_counts, d.nkeys, d.val_start,
-            d.hi_table, d.positions, self._gcode, self._gmask,
-            self._ist_dev, self._st_pad_dev,
-            seqs_u, lens_u, offs, nsg, mm0, thr, fb_pad)
-        return dict(out=out,
-                    seqs1=seqs1, lens1=lens1, seqs2=seqs2, lens2=lens2,
-                    read_nos=read_nos, n=seqs1.shape[0], B=B)
+            self.dev_counts, *self._dnbr.args, self._gcode, self._gmask,
+            self._ist_dev, self._st_pad_dev, *ins)
+        h["out"] = out
+        del h["ins"]
+        return h
 
     def resolve(self, h):
-        out = np.asarray(h["out"])
+        if "out" not in h and h.get("group") is None:
+            self._flush_staged()        # h was still staged
+        g = h.get("group")
+        if g is not None:
+            if g["host"] is None:       # one fetch per group
+                g["host"] = np.asarray(g["outs"])
+                g["outs"] = None
+            out = g["host"][h["gi"]]
+        else:
+            out = np.asarray(h["out"])
         n = h["n"]
         B = h["B"]
         if out.ndim == 3:
@@ -1003,6 +1241,7 @@ class FusedMapperEngine2(MapperEngine):
             seqs1, lens1, seqs2, lens2, read_nos=read_nos))
 
     def final_pileup(self) -> np.ndarray:
+        self._flush_staged()
         host = self.pileup.sum(axis=0, dtype=np.uint16)
         dc = np.asarray(self.dev_counts)
         if dc.ndim == 2:                 # mesh: per-shard partial rows
@@ -1011,6 +1250,7 @@ class FusedMapperEngine2(MapperEngine):
         return (host + dev).astype(np.uint16)
 
     def reset_group(self) -> None:
+        self._flush_staged()
         super().reset_group()
         if self._n_sh > 1:
             self.dev_counts = self._jnp.zeros(

@@ -134,14 +134,16 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
         eng._order_counter = order_base
         maps1_parts, maps2_parts = [], []
         if hasattr(eng, "map_batch_async"):
-            # keep two batches in flight so the device computes batch k+1
-            # while the host fetches/post-processes batch k
+            # keep enough batches in flight that the device computes the
+            # next (possibly K-batch-grouped) program while the host
+            # fetches/post-processes earlier ones
+            depth = 2 * getattr(eng, "_group_k", 1) + 1
             pend = []
             for batch in batcher.batches():
                 s1, l1, s2, l2, nos = batch
                 pend.append(eng.map_batch_async(s1, l1, s2, l2,
                                                 read_nos=nos))
-                if len(pend) >= 2:
+                if len(pend) >= depth:
                     m1, m2, _ = eng.resolve(pend.pop(0))
                     maps1_parts.append(m1)
                     maps2_parts.append(m2)

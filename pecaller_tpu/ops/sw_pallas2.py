@@ -148,8 +148,9 @@ def sw_align_x_pallas(refs, blens, reads, rlens, bisulfite: bool = False,
     BP = refs.shape[0]
     WP = _round_up(M + 1, 16)
     NP = _round_up(n_rows, 16)
-    refs_i = jnp.zeros((NP, BP), jnp.int32).at[:N, :].set(
-        refs.astype(jnp.int32).T)
+    NR = min(N, NP)                 # rows past n_rows are never read
+    refs_i = jnp.zeros((NP, BP), jnp.int32).at[:NR, :].set(
+        refs[:, :NR].astype(jnp.int32).T)
     reads_i = jnp.full((WP, BP), XN + 2, jnp.int8).at[:M, :].set(
         reads.astype(jnp.int8).T)
     blens_i = blens.astype(jnp.int32).reshape(1, BP)
@@ -310,8 +311,9 @@ def sw_tb_rows_pallas(refs, blens, reads, rlens, bt_k, bt_i,
     BP = refs.shape[0]
     WP = _round_up(M + 1, 16)
     NP = _round_up(n_rows, 16)
-    refs_i = jnp.zeros((NP, BP), jnp.int32).at[:N, :].set(
-        refs.astype(jnp.int32).T)
+    NR = min(N, NP)                 # rows past n_rows are never read
+    refs_i = jnp.zeros((NP, BP), jnp.int32).at[:NR, :].set(
+        refs[:, :NR].astype(jnp.int32).T)
     reads_i = jnp.full((WP, BP), XN + 2, jnp.int8).at[:M, :].set(
         reads.astype(jnp.int8).T)
     blens_i = blens.astype(jnp.int32).reshape(1, BP)

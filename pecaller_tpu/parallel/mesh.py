@@ -99,7 +99,8 @@ def shard_units(arr, n_shards: int, B: int, paired: bool):
 def sharded_fused_step2(mesh: Mesh, dnbr, *, paired: bool,
                         bisulfite: bool, min_dist: int, max_dist: int,
                         n_contigs: int, genome_size: int,
-                        B: int, M: int, N: int, s_max: int):
+                        B: int, M: int, N: int, s_max: int,
+                        max_rlen: int | None = None):
     """The full v2 fused mapping step sharded over every mesh device.
 
     Reads are the data axis (the reference's per-directory SGE fan-out,
@@ -124,26 +125,26 @@ def sharded_fused_step2(mesh: Mesh, dnbr, *, paired: bool,
     raw = build_fused_step2(
         dnbr, paired=paired, bisulfite=bisulfite, min_dist=min_dist,
         max_dist=max_dist, n_contigs=n_contigs, genome_size=genome_size,
-        B=B // n_shards, M=M, N=N, s_max=s_max, jit=False)
+        B=B // n_shards, M=M, N=N, s_max=s_max, jit=False,
+        max_rlen=max_rlen)
+    n_idx = len(dnbr.args)
 
-    def local(dev_counts, nkeys, val_start, hi_table, positions,
-              gcode, gmask, ist, st_pad,
-              seqs_u, lens, offsets, n_segs, mm0, thr, fb_pad):
-        dc, out = raw(dev_counts[0], nkeys, val_start, hi_table,
-                      positions, gcode, gmask, ist, st_pad,
-                      seqs_u[0], lens[0], offsets[0], n_segs[0],
-                      mm0[0], thr[0], fb_pad[0])
+    def local(dev_counts, *rest):
+        fixed = rest[:n_idx + 4]        # index arrays + genome/contigs
+        per_b = rest[n_idx + 4:]
+        dc, out = raw(dev_counts[0], *fixed,
+                      *[x[0] for x in per_b])
         return dc[None], out[None]
 
     rep1 = P(None)
+    batch_specs = (P(axes, None, None), P(axes, None),
+                   P(axes, None, None), P(axes, None), P(axes, None),
+                   P(axes, None), P(axes, None))
     step = shard_map(
         local, mesh=mesh,
         in_specs=(P(axes, None),                      # dev_counts
-                  rep1, rep1, rep1, rep1,             # nbr index
-                  rep1, rep1, rep1, rep1,             # genome + contigs
-                  P(axes, None, None), P(axes, None), P(axes, None, None),
-                  P(axes, None), P(axes, None), P(axes, None),
-                  P(axes, None)),
+                  *([rep1] * (n_idx + 4)),            # index + genome
+                  *batch_specs),
         out_specs=(P(axes, None), P(axes, None, None)),
         check_vma=False)
     return jax.jit(step, donate_argnums=(0,)), n_shards

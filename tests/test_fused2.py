@@ -65,6 +65,43 @@ def test_fused2_matches_oracle(data):
     assert kr == kf
 
 
+def test_fused2_grouped_scan(data):
+    """group_k>1 (K batches fused into one scanned device program, one
+    fetch per group) must be bit-identical to the single-batch path,
+    including partial-group flush on shape change and at stream end."""
+    from pecaller_tpu.formats.fastq import FastqBatcher
+    kw = dict(paired=True, min_align=0.9, min_dist=0, max_dist=500,
+              nthreads=2)
+    from pecaller_tpu.formats.sdx import read_sdx, read_seq
+    from pecaller_tpu.formats.index_files import load_index
+    from pecaller_tpu.mapper.device_map2 import FusedMapperEngine2
+    sdx = read_sdx(str(data / "g.sdx"))
+    genome = read_seq(str(data / "g.seq"), sdx.genome_size)
+    index = load_index(str(data / "g"))
+    e_one = FusedMapperEngine2(sdx, genome, index, group_k=1, **kw)
+    e_grp = FusedMapperEngine2(sdx, genome, index, group_k=3, **kw)
+    # batch 128: 900 pairs -> 7 full batches (2 groups of 3 + 1 partial)
+    # + a 4-pair tail in a different shape bucket (flush-on-key-change)
+    batches = list(FastqBatcher(str(data / "r1.fastq"),
+                                str(data / "r2.fastq"),
+                                batch_size=128).batches())
+    res_one, res_grp = [], []
+    pend = []
+    for b in batches:
+        s1, l1, s2, l2, nos = b
+        res_one.append(e_one.map_batch(s1, l1, s2, l2, read_nos=nos))
+        pend.append(e_grp.map_batch_async(s1, l1, s2, l2, read_nos=nos))
+    for h in pend:
+        res_grp.append(e_grp.resolve(h))
+    for (a1, a2, ac), (b1, b2, bc) in zip(res_one, res_grp):
+        assert np.array_equal(ac, bc)
+        assert np.array_equal(a1, b1)
+        assert np.array_equal(a2, b2)
+    assert np.array_equal(e_one.stats.mate_counts, e_grp.stats.mate_counts)
+    assert np.array_equal(e_one.final_pileup(), e_grp.final_pileup())
+    assert sorted(e_one.ins_records) == sorted(e_grp.ins_records)
+
+
 def test_fused2_single_end(data):
     from pecaller_tpu.formats.fastq import FastqBatcher
     e_ref, e_fus = _engines(data, paired=False, min_align=0.9, nthreads=2)
