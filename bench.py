@@ -224,10 +224,132 @@ def bench_caller(d):
     }), flush=True)
 
 
+MID_LEN = 47_000_000          # human chr21 scale
+MID_READS = 50_000
+
+
+def _prepare_mid(d):
+    """47 Mb single-contig genome + 50k read pairs (cached).  This is
+    past the nbr-closure gate, so the v1 fused engine (4^16 presence
+    table + CSR) is the device path — VERDICT r2 item 3."""
+    md = os.path.join(d, "mid")
+    os.makedirs(md, exist_ok=True)
+    fa = os.path.join(md, "m.fa")
+    if not os.path.exists(os.path.join(md, "r1.fastq")):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from util import make_genome, write_fasta, sample_reads, write_fastq
+        rng = np.random.default_rng(2025)
+        names, seqs = make_genome(rng, [MID_LEN], names=["chr21x"])
+        write_fasta(fa, names, seqs)
+        reads = sample_reads(rng, names, seqs, MID_READS, read_len=READ_LEN,
+                             err_rate=0.005, paired=True, insert_lo=150,
+                             insert_hi=450, indel_rate=0.02, max_indel=4)
+        write_fastq(os.path.join(md, "r1.fastq"), reads, which=0)
+        write_fastq(os.path.join(md, "r2.fastq"), reads, which=1)
+    if not os.path.exists(os.path.join(md, "m.sdx")):
+        from pecaller_tpu.index import build_index
+        build_index(fa, os.path.join(md, "m"), write_idx=True)
+    return md
+
+
+def _c_mid_baseline(md):
+    cache = os.path.join(md, "c_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    try:
+        from util import ref_binaries, have_reference
+        if not have_reference():
+            raise RuntimeError("no reference")
+        bindir = ref_binaries()
+        ncpu = os.cpu_count() or 2
+        threads = ncpu + 1
+        t0 = time.time()
+        subprocess.run(
+            [os.path.join(bindir, "pemapper"), "cmid", "m.sdx", "p",
+             "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
+             str(threads), str(2 * MID_READS)],
+            cwd=md, check=True, capture_output=True, timeout=7200)
+        elapsed = time.time() - t0
+        t0 = time.time()
+        subprocess.run(
+            [os.path.join(bindir, "pemapper"), "cmid0", "m.sdx", "p",
+             "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
+             str(threads), "1"],
+            cwd=md, check=True, capture_output=True, timeout=7200)
+        setup = time.time() - t0
+        compute = max(elapsed - setup, 1e-3)
+        result = {"reads_per_s": 2 * MID_READS / compute,
+                  "cores": ncpu, "elapsed": elapsed, "setup": setup}
+    except Exception as e:
+        result = {"reads_per_s": None, "cores": None, "error": str(e)}
+    with open(cache, "w") as f:
+        json.dump(result, f)
+    return result
+
+
+def bench_mid(d):
+    md = _prepare_mid(d)
+    from pecaller_tpu.formats.sdx import read_sdx, read_seq
+    from pecaller_tpu.formats.index_files import load_index
+    from pecaller_tpu.formats.fastq import FastqBatcher
+    from pecaller_tpu.mapper.device_pipeline import FusedMapperEngine
+
+    sdx = read_sdx(os.path.join(md, "m.sdx"))
+    genome = read_seq(os.path.join(md, "m.seq"), sdx.genome_size)
+    index = load_index(os.path.join(md, "m"))
+    eng = FusedMapperEngine(sdx, genome, index, paired=True,
+                            min_align=0.9, min_dist=0, max_dist=500,
+                            nthreads=os.cpu_count() or 2)
+    batches = list(FastqBatcher(os.path.join(md, "r1.fastq"),
+                                os.path.join(md, "r2.fastq"),
+                                batch_size=8192).batches())
+    s1, l1, s2, l2, nos = batches[0]
+    eng.map_batch(s1, l1, s2, l2, read_nos=nos)
+    st, lt, s2t, l2t, nt = batches[-1]
+    eng.map_batch(st, lt, s2t, l2t, read_nos=nt)
+
+    def one_pass():
+        t0 = time.time()
+        total = 0
+        pend = []
+        for s1, l1, s2, l2, nos in batches:
+            pend.append(eng.map_batch_async(s1, l1, s2, l2,
+                                            read_nos=nos))
+            total += 2 * len(l1)
+            if len(pend) >= 5:
+                eng.resolve(pend.pop(0))
+        while pend:
+            eng.resolve(pend.pop(0))
+        np.asarray(eng.dev_counts[:8])
+        return total / (time.time() - t0)
+
+    reads_per_s = max(one_pass(), one_pass())
+    cb = _c_mid_baseline(md)
+    vs = None
+    if cb.get("reads_per_s"):
+        per_core = cb["reads_per_s"] / cb["cores"]
+        vs = reads_per_s / (per_core * 64.0)
+    print(json.dumps({
+        "metric": "mapped reads/s/chip (47Mb genome, v1 engine)",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }), flush=True)
+
+
 def main():
     d = _prepare_data()
-    if os.environ.get("PECALLER_BENCH_ONLY", "") != "map":
+    only = os.environ.get("PECALLER_BENCH_ONLY", "")
+    if only not in ("map", "mid"):
         bench_caller(d)
+    if only != "map" and os.environ.get("PECALLER_BENCH_MID", "1") != "0":
+        bench_mid(d)
+    if only == "mid":
+        return
     from pecaller_tpu.formats.sdx import read_sdx, read_seq
     from pecaller_tpu.formats.index_files import load_index
     from pecaller_tpu.formats.fastq import FastqBatcher

@@ -121,13 +121,18 @@ def _screen_chunk(reads, ref_int, ctype, *, haploid: bool,
 
     # ---- pass-1 likelihood margins (f32) ----
     sc_idx = jnp.clip(jnp.minimum(tot, 100), 10, 100) - 10       # (S, I)
-    ta_d = jnp.asarray(ta)                          # (91, 4, G, 6) i32
-    tota_d = jnp.asarray(tota)
-    a1_d = jnp.asarray(a1)
+    n_sc, _, G, _ = ta.shape
     ref_b = ref_int.astype(jnp.int32)[:, None]      # (S, 1)
-    ta_si = ta_d[sc_idx, ref_b]                     # (S, I, G, 6)
-    tota_si = tota_d[sc_idx, ref_b]                 # (S, I, G)
-    a1_si = a1_d[sc_idx, ref_b]                     # (S, I, G)
+    # flat (scale*4+ref) row index + single-axis takes: the
+    # two-index-array form compiled to a scalarizing gather on TPU
+    # (hundreds of seconds to compile, ~750 ms/chunk to run)
+    flat = sc_idx * 4 + ref_b                       # (S, I)
+    ta_d = jnp.asarray(ta.reshape(n_sc * 4, G, 6))
+    tota_d = jnp.asarray(tota.reshape(n_sc * 4, G))
+    a1_d = jnp.asarray(a1.reshape(n_sc * 4, G))
+    ta_si = jnp.take(ta_d, flat, axis=0)            # (S, I, G, 6)
+    tota_si = jnp.take(tota_d, flat, axis=0)        # (S, I, G)
+    a1_si = jnp.take(a1_d, flat, axis=0)            # (S, I, G)
 
     args = (ta_si + r[:, :, None, :]).astype(jnp.float32) + 1.0
     tail = (tota_si + (tot + r[..., 5])[..., None]).astype(
@@ -180,6 +185,8 @@ class CallerScreen:
 
     def __init__(self, indiv: int, haploid: bool, chunk: int | None = None):
         import jax
+        from ..utils import enable_compilation_cache
+        enable_compilation_cache()
         self.indiv = indiv
         self.haploid = haploid
         if chunk is None or chunk <= 8192:
@@ -200,9 +207,14 @@ class CallerScreen:
 
     def __call__(self, reads: np.ndarray, ref_int: np.ndarray,
                  ctype: np.ndarray) -> np.ndarray:
-        """reads (S,I,6) u16, ref_int (S,) 0..3, ctype (S,) -> codes."""
+        """reads (S,I,6) u16, ref_int (S,) 0..3, ctype (S,) -> codes.
+
+        Chunks are dispatched async (jax dispatch does not block) and
+        fetched afterwards, so device compute overlaps both the host
+        slicing of later chunks and earlier fetches."""
         n = len(ref_int)
         out = np.empty(n, dtype=np.uint8)
+        pend = []
         lo = 0
         while lo < n:
             hi = min(lo + self.chunk, n)
@@ -215,11 +227,13 @@ class CallerScreen:
                 ri[:m] = ref_int[lo:hi]
                 ct = np.zeros(ck, dtype=np.uint8)
                 ct[:m] = ctype[lo:hi]
-                out[lo:hi] = np.asarray(self._fn(rd, ri, ct))[:m]
+                pend.append((lo, hi, self._fn(rd, ri, ct)))
             else:
-                out[lo:hi] = np.asarray(self._fn(
+                pend.append((lo, hi, self._fn(
                     np.ascontiguousarray(reads[lo:hi]),
                     np.ascontiguousarray(ref_int[lo:hi]),
-                    np.ascontiguousarray(ctype[lo:hi])))
+                    np.ascontiguousarray(ctype[lo:hi]))))
             lo = hi
+        for lo, hi, codes in pend:
+            out[lo:hi] = np.asarray(codes)[:hi - lo]
         return out

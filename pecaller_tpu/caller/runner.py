@@ -407,17 +407,23 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
         # exactly 1.0, call = ref, site type REF (out_probs init 1.0,
         # out_types 0, out_acnt 0 already hold).
         with ph("easy"):
-            sel_e = cidx[codes == EASY]
-            if len(sel_e):
+            easy_m = codes == EASY
+            if easy_m.any():
                 min_depth = 1 if cfg.haploid else 2
+                em = np.zeros(n_sites, bool)
+                em[cidx[easy_m]] = True
+                # dense masked copies: nearly every site is easy, so
+                # computing over the full window and np.copyto(where=)
+                # beats two (|easy|, I) fancy-index gathers/scatters.
                 # active uses depth WITHOUT the Ins column
                 # (pecaller.c:1233-1236): reuse tot_cov from the stats
-                # pass instead of re-reducing a fancy-indexed copy
-                tot5 = tot_cov[sel_e] - data[sel_e, :, 5]
-                act = tot5 > min_depth
-                out_active[sel_e] = act
-                out_calls[sel_e] = np.where(
-                    act, ref_int[sel_e, None], 14).astype(np.int8)
+                # pass.
+                act = (tot_cov - data[:, :, 5]) > min_depth
+                m2 = em[:, None]
+                np.copyto(out_active, act.astype(np.uint8), where=m2)
+                np.copyto(out_calls,
+                          np.where(act, ref_int[:, None].astype(np.int8),
+                                   np.int8(14)), where=m2)
         # BAD: the integer bad-base gates fired -> all samples print
         # "N 1" with active=0; the initialized defaults already match.
         cidx = cidx[codes == 0]            # HARD -> exact native engine
