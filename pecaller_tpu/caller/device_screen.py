@@ -122,7 +122,11 @@ def _screen_chunk(reads, ref_int, ctype, *, haploid: bool,
     # ---- pass-1 likelihood margins (f32) ----
     sc_idx = jnp.clip(jnp.minimum(tot, 100), 10, 100) - 10       # (S, I)
     n_sc, _, G, _ = ta.shape
-    ref_b = ref_int.astype(jnp.int32)[:, None]      # (S, 1)
+    ref_raw = ref_int.astype(jnp.int32)[:, None]    # (S, 1)
+    # tables only cover ref in {A,C,G,T}; ambiguity-code references
+    # (ref_int >= 4, e.g. IUPAC 'D'/'H' genome chars that land < 6 in
+    # GEN_TO_INT) are forced HARD below so the exact engine decides them
+    ref_b = jnp.minimum(ref_raw, 3)                 # (S, 1)
     # flat (scale*4+ref) row index + single-axis takes: the
     # two-index-array form compiled to a scalarizing gather on TPU
     # (hundreds of seconds to compile, ~750 ms/chunk to run)
@@ -169,6 +173,10 @@ def _screen_chunk(reads, ref_int, ctype, *, haploid: bool,
 
     codes = jnp.where(bad, jnp.uint8(BAD),
                       jnp.where(easy, jnp.uint8(EASY), jnp.uint8(HARD)))
+    # non-ACGT reference: the screened likelihoods used a clamped ref
+    # row and the EASY/BAD shortcuts assume call==ref semantics — route
+    # unconditionally to the exact native engine
+    codes = jnp.where(ref_raw[:, 0] >= 4, jnp.uint8(HARD), codes)
     return codes
 
 
@@ -215,8 +223,15 @@ class CallerScreen:
         n = len(ref_int)
         out = np.empty(n, dtype=np.uint8)
         pend = []
+        # pipeline depth bound: keep at most MAX_PEND chunks in flight so
+        # device-resident input buffers stay O(1) in the window size
+        # while dispatch/fetch still overlap
+        MAX_PEND = 3
         lo = 0
         while lo < n:
+            if len(pend) >= MAX_PEND:
+                plo, phi, pcodes = pend.pop(0)
+                out[plo:phi] = np.asarray(pcodes)[:phi - plo]
             hi = min(lo + self.chunk, n)
             m = hi - lo
             ck = self._bucket(m)

@@ -284,6 +284,48 @@ def build_nbr_index(index: SeedIndex,
                     hi_table.astype(np.int32))
 
 
+def _cuckoo_spotcheck(nbr: NbrIndex, n_check: int = 64) -> bool:
+    """Verify a deterministic sample of keys resolves through the cuckoo
+    tables to the same (start, count-sat, abundant) triple as the core
+    arrays — guards against a stale ctag/cval pairing with rebuilt core
+    files, which would silently map reads to wrong genome positions."""
+    nn = len(nbr.nkeys)
+    if nn == 0:
+        return True
+    tagt = np.asarray(nbr.hash_tag)
+    valt = np.asarray(nbr.hash_val)
+    T = len(tagt) // 2
+    tb = int(T).bit_length() - 1
+    if (1 << tb) != T:
+        return False
+    idx = np.linspace(0, nn - 1, min(n_check, nn)).astype(np.int64)
+    k = np.asarray(nbr.nkeys)[idx].astype(np.uint32)
+    mask31 = np.uint32((1 << 31) - 1)
+    v0 = np.asarray(nbr.val_start[:-1])[idx]
+    v1 = np.asarray(nbr.val_start[1:])[idx]
+    want_start = (v0 & mask31).astype(np.int64)
+    want_cnt = np.minimum((v1 & mask31).astype(np.int64) - want_start, 255)
+    want_ab = (v0 >> np.uint32(31)).astype(np.int64)
+    m1 = _mix1(k)
+    m2 = _mix2(k)
+    tfm = np.uint32((1 << 22) - 1)
+    e1 = tagt[(m1 & np.uint32(T - 1)).astype(np.int64)]
+    e2 = tagt[T + (m2 & np.uint32(T - 1)).astype(np.int64)]
+    hit1 = ((e1 >> np.uint32(31)) != 0) & ((e1 & tfm) == (m1 >> np.uint32(tb)))
+    hit2 = ((e2 >> np.uint32(31)) != 0) & ((e2 & tfm) == (m2 >> np.uint32(tb)))
+    if not (hit1 | hit2).all():
+        return False
+    e = np.where(hit1, e1, e2)
+    slot = np.where(hit1, (m1 & np.uint32(T - 1)).astype(np.int64),
+                    T + (m2 & np.uint32(T - 1)).astype(np.int64))
+    got_start = valt[slot].astype(np.int64)
+    got_cnt = ((e >> np.uint32(22)) & np.uint32(0xFF)).astype(np.int64)
+    got_ab = ((e >> np.uint32(30)) & np.uint32(1)).astype(np.int64)
+    return bool((got_start == want_start).all()
+                and (got_cnt == want_cnt).all()
+                and (got_ab == want_ab).all())
+
+
 _PARTS = ("nkeys", "vstart", "pos", "hi", "ctag", "cval")
 
 
@@ -309,8 +351,20 @@ def load_nbr_index(basename: str, index: SeedIndex,
     if fresh:
         a = {k: np.load(p, mmap_mode="r") for k, p in ps.items()
              if os.path.exists(p)}
+        # the cuckoo table is derived from nkeys/vstart: a stale pair
+        # (e.g. a crashed rebuild that rewrote the core arrays but not
+        # ctag/cval) would silently map reads to wrong positions, so it
+        # must be at least as new as every core file AND spot-verify
+        # against the loaded arrays before being trusted
+        core_mtime = max(os.path.getmtime(p) for p in core)
+        cuckoo_ok = (all(os.path.exists(ps[k]) for k in ("ctag", "cval"))
+                     and all(os.path.getmtime(ps[k]) >= core_mtime
+                             for k in ("ctag", "cval")))
         nbr = NbrIndex(a["nkeys"], a["vstart"], a["pos"], a["hi"],
-                       hash_tag=a.get("ctag"), hash_val=a.get("cval"))
+                       hash_tag=a.get("ctag") if cuckoo_ok else None,
+                       hash_val=a.get("cval") if cuckoo_ok else None)
+        if nbr.hash_tag is not None and not _cuckoo_spotcheck(nbr):
+            nbr.hash_tag = nbr.hash_val = None
         if nbr.hash_tag is None:
             nbr.with_cuckoo()
             if cache and nbr.hash_tag is not None:
