@@ -63,6 +63,12 @@ class CallerConfig:
     # decompress), so the default trades disk for wall-clock; use 6 to
     # match the reference's zlib default byte-for-byte on disk
     gzip_level: int = 1
+    # window-granular checkpoint/resume (non-guide path): after each
+    # streamed window the output members are finalized and
+    # <out>.cckpt.npz records stream position + coverage accumulators;
+    # a rerun resumes at the last completed window (the reference's
+    # restart granularity is a whole SGE job, SURVEY 5.3/5.4)
+    checkpoint: bool = False
 
 
 def _chrom_type(name: str) -> int:
@@ -184,6 +190,91 @@ class _ChunkedStream:
         return self._eof and len(self._buf) == 0
 
 
+class _BgFile:
+    """Write-behind wrapper: ``write`` enqueues, a worker thread runs the
+    gzip deflate + OS write (zlib drops the GIL, so compression overlaps
+    the next window's compute).  Bounded queue gives backpressure."""
+
+    def __init__(self, f, max_queue: int = 64):
+        import queue
+        import threading
+        self._f = f
+        self._q = queue.Queue(maxsize=max_queue)
+        self._exc = None
+        self._ev = threading.Event
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if not isinstance(item, bytes):
+                item.set()              # flush barrier
+                continue
+            try:
+                self._f.write(item)
+            except Exception as e:     # surfaced on next write/close
+                self._exc = e
+
+    def write(self, data):
+        if self._exc is not None:
+            raise self._exc
+        self._q.put(data)
+
+    def flush(self):
+        """Block until every queued buffer reached the underlying file."""
+        ev = self._ev()
+        self._q.put(ev)
+        ev.wait()
+        if self._exc is not None:
+            raise self._exc
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        if self._exc is not None:
+            raise self._exc
+        self._f.close()
+
+
+class _CkptGz:
+    """Gzip writer whose stream can be finalized at checkpoint
+    boundaries: ``member_end`` closes the current gzip member and
+    returns the raw byte offset — a later resume truncates to that
+    offset and appends a new member (concatenated members decompress as
+    one stream, which is the artifact contract)."""
+
+    def __init__(self, path, level, resume_offset=None):
+        if resume_offset is not None:
+            self._raw = open(path, "r+b")
+            self._raw.truncate(resume_offset)
+            self._raw.seek(resume_offset)
+        else:
+            self._raw = open(path, "wb")
+        self._level = level
+        self._gz = None
+
+    def write(self, data):
+        if self._gz is None:
+            self._gz = gzip.GzipFile(fileobj=self._raw, mode="wb",
+                                     compresslevel=self._level)
+        self._gz.write(data)
+
+    def member_end(self) -> int:
+        if self._gz is not None:
+            self._gz.close()
+            self._gz = None
+        self._raw.flush()
+        return self._raw.tell()
+
+    def close(self):
+        if self._gz is not None:
+            self._gz.close()
+        self._raw.close()
+
+
 _TIMER = os.environ.get("PECALLER_CALLER_TIMING")
 
 
@@ -250,8 +341,23 @@ def run_caller(cfg: CallerConfig):
         except Exception:           # no usable jax backend: exact path
             screen = None
 
+    ck_path = cfg.out_base + ".cckpt.npz"
+    resume_lo = 0
+    ro = None
+    if cfg.checkpoint and cfg.guide_path is None \
+            and os.path.exists(ck_path):
+        ck = np.load(ck_path)
+        resume_lo = int(ck["next_lo"])
+        ro = {k: int(ck[k + "_off"]) for k in ("base", "pile", "snp")}
     st = _Accum(indiv)
-    w = _SiteWriters(cfg, sample_names)
+    if ro is not None:
+        ck = np.load(ck_path)
+        st.tot_bases = int(ck["tot_bases"])
+        st.counts_hist = ck["counts_hist"]
+        st.mean_sum = ck["mean_sum"]
+        st.base_count = ck["base_count"]
+        st.max_cov = ck["max_cov"]
+    w = _SiteWriters(cfg, sample_names, resume_offsets=ro)
     ph = _Phase()
     ctx = dict(cfg=cfg, sdx=sdx, genome=genome, frag_pos=frag_pos,
                chrom_types=chrom_types, indiv=indiv, lib=lib, model=model,
@@ -261,16 +367,28 @@ def run_caller(cfg: CallerConfig):
         from concurrent.futures import ThreadPoolExecutor
         streams = [_ChunkedStream(p) for p in files]
         window = cfg.window_positions
-        lo = 0
-        # per-stream gz decompression releases the GIL: overlap it
+        lo = resume_lo
+        # per-stream gz decompression releases the GIL: overlap it, and
+        # double-buffer — the NEXT window's reads are submitted before
+        # this window's compute so decompression hides behind it
         pool = ThreadPoolExecutor(max_workers=min(8, len(streams)))
+
+        def _submit(bound):
+            return [pool.submit(s.take_below, bound) for s in streams]
+
+        if lo:                          # resume: discard completed span
+            for f in _submit(lo):
+                f.result()
+        futs = _submit(lo + window)
         while True:
             hi = lo + window
             with ph("read"):
-                chunks = list(pool.map(lambda s: s.take_below(hi),
-                                       streams))
+                chunks = [f.result() for f in futs]
+            exhausted = all(s.exhausted for s in streams)
+            if not (exhausted and all(len(c[0]) == 0 for c in chunks)):
+                futs = _submit(hi + window)
             if all(len(c[0]) == 0 for c in chunks):
-                if all(s.exhausted for s in streams):
+                if exhausted:
                     break
                 lo = hi
                 continue
@@ -290,6 +408,20 @@ def run_caller(cfg: CallerConfig):
             hap = np.full(len(all_pos), 1 if cfg.haploid else 0, np.uint8)
             _process_window(ctx, w, st, all_pos, data, present, hap,
                             count_absent=False)
+            if cfg.checkpoint:
+                with ph("ckpt"):
+                    offs = w.sync_offsets()
+                    tmp = ck_path + ".tmp"
+                    with open(tmp, "wb") as f:
+                        np.savez(f, next_lo=hi, base_off=offs["base"],
+                                 pile_off=offs["pile"],
+                                 snp_off=offs["snp"],
+                                 tot_bases=st.tot_bases,
+                                 counts_hist=st.counts_hist,
+                                 mean_sum=st.mean_sum,
+                                 base_count=st.base_count,
+                                 max_cov=st.max_cov)
+                    os.replace(tmp, ck_path)
             lo = hi
     else:
         streams = [_Stream(p) for p in files]
@@ -317,6 +449,8 @@ def run_caller(cfg: CallerConfig):
     with ph("dist"):
         _write_dist(cfg, sample_names, st.tot_bases, st.counts_hist,
                     st.mean_done(), st.base_count, st.max_cov)
+    if cfg.checkpoint and os.path.exists(ck_path):
+        os.remove(ck_path)
     ph.report()
     return dict(n_sites=st.tot_bases, sample_names=sample_names)
 
@@ -466,18 +600,36 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
 class _SiteWriters:
     """Incremental .base.gz/.snp/.piles.gz writers (headers once)."""
 
-    def __init__(self, cfg, sample_names):
+    def __init__(self, cfg, sample_names, resume_offsets=None):
         self.cfg = cfg
         self.indiv = len(sample_names)
-        self.basef = gzip.open(cfg.out_base + ".base.gz", "wb",
-                               compresslevel=cfg.gzip_level)
-        self.pilef = gzip.open(cfg.out_base + ".piles.gz", "wb",
-                               compresslevel=cfg.gzip_level)
+        ro = resume_offsets or {}
+        if cfg.checkpoint:
+            self._base_gz = _CkptGz(cfg.out_base + ".base.gz",
+                                    cfg.gzip_level, ro.get("base"))
+            self._pile_gz = _CkptGz(cfg.out_base + ".piles.gz",
+                                    cfg.gzip_level, ro.get("pile"))
+            self.basef = _BgFile(self._base_gz)
+            self.pilef = _BgFile(self._pile_gz)
+        else:
+            self._base_gz = self._pile_gz = None
+            self.basef = _BgFile(gzip.open(cfg.out_base + ".base.gz", "wb",
+                                           compresslevel=cfg.gzip_level))
+            self.pilef = _BgFile(gzip.open(cfg.out_base + ".piles.gz", "wb",
+                                           compresslevel=cfg.gzip_level))
         if cfg.dump_mode:
-            open(cfg.out_base + ".snp", "w").close()
+            if not ro:
+                open(cfg.out_base + ".snp", "w").close()
             self.snpf = None
+        elif ro:
+            self.snpf = open(cfg.out_base + ".snp", "r+")
+            self.snpf.truncate(ro["snp"])
+            self.snpf.seek(ro["snp"])
         else:
             self.snpf = open(cfg.out_base + ".snp", "w")
+        if ro:
+            return                      # headers already on disk
+        if self.snpf:
             self.snpf.write("Fragment\tPosition\tReference\tAlleles"
                             "\tAllele_Counts\tType")
         self.basef.write(b"Fragment\tPosition\tReference")
@@ -487,6 +639,20 @@ class _SiteWriters:
                 self.snpf.write("\t%s\t" % nm)
             self.basef.write(("\t%s\t" % nm).encode())
             self.pilef.write(("\t%s\t\t\t\t\t" % nm).encode())
+
+    def sync_offsets(self):
+        """Finalize the current gzip members; return raw byte offsets
+        for a checkpoint record (checkpoint mode only)."""
+        self.basef.flush()
+        self.pilef.flush()
+        offs = {"base": self._base_gz.member_end(),
+                "pile": self._pile_gz.member_end()}
+        if self.snpf:
+            self.snpf.flush()
+            offs["snp"] = self.snpf.tell()
+        else:
+            offs["snp"] = 0
+        return offs
 
     def write_calls_window(self, sdx, which, contig_pos, refc, callable_m,
                            data, calls, probs, types, denovo, acnt, active):

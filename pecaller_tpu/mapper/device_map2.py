@@ -281,6 +281,21 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
 
     n_idx = len(dnbr.args)
     hash_mode = dnbr.mode == "hash"
+    quarter_mode = dnbr.mode == "quarter"
+
+    def make_keys2(xcode_f, xcode_r, offsets):
+        """Probe keys on converted codes (convert_ct,
+        pemapper.c:2292-2300) for both orientations: (U, 2, S) u32."""
+        if bisulfite:
+            conv = lambda x: jnp.where(x == 1, jnp.uint8(3), x & 3)  # noqa
+        else:
+            conv = lambda x: x & 3                                   # noqa
+        if "keys" in PROF_SKIP:
+            return (jnp.zeros((U, 2, S), jnp.uint32)
+                    + xcode_f[:, :1, None] + xcode_r[:, :1, None])
+        kf = rolling_keys(conv(xcode_f), offsets)
+        kr = rolling_keys(conv(xcode_r), offsets)
+        return jnp.stack([kf, kr], axis=1)             # (U, 2, S)
 
     def seed_nbr(idx_args, xcode_f, xcode_r, offsets, n_segs,
                  min_match0, skip):
@@ -289,18 +304,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         :2188-2289) with the 49-key expansion replaced by the inverted
         index."""
         positions = idx_args[-1]
-        # keys on converted codes (convert_ct, pemapper.c:2292-2300)
-        if bisulfite:
-            conv = lambda x: jnp.where(x == 1, jnp.uint8(3), x & 3)  # noqa
-        else:
-            conv = lambda x: x & 3                                   # noqa
-        if "keys" in PROF_SKIP:
-            keys2 = (jnp.zeros((U, 2, S), jnp.uint32)
-                     + xcode_f[:, :1, None] + xcode_r[:, :1, None])
-        else:
-            kf = rolling_keys(conv(xcode_f), offsets)
-            kr = rolling_keys(conv(xcode_r), offsets)
-            keys2 = jnp.stack([kf, kr], axis=1)        # (U, 2, S)
+        keys2 = make_keys2(xcode_f, xcode_r, offsets)
         if SSTAGE == 11:
             return _seed_dummy(keys2)
 
@@ -424,7 +428,20 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                 [pos, tail[:NF].reshape(U, 2, S, T2)], axis=-1)
         if SSTAGE == 13:
             return _seed_dummy(pos, seg_tot, seg_over.astype(jnp.int32))
+        return chain_dedup_select(pos, seg_tot, seg_over, heavy_over,
+                                  offsets, n_segs, min_match0, skip)
 
+    def chain_dedup_select(pos, seg_tot, seg_over, heavy_over, offsets,
+                           n_segs, min_match0, skip):
+        """Shared seed tail: co-linear chaining + min_match ratchet +
+        diagonal dedup + CAP selection (pemapper.c:2188-2289 semantics).
+
+        ``pos`` (U, 2, S, seg_cap) int32 candidate positions, ascending
+        per probe, POS_PAD-padded; ``seg_tot`` (U, 2, S) candidate counts
+        (0 for poisoned/invalid segments); ``seg_over`` (U, 2, S) probes
+        whose candidate set exceeded seg_cap; ``heavy_over`` (U,) units
+        whose probing exceeded a batch-level budget."""
+        seg_valid = (jnp.arange(S)[None, :] < n_segs[:, None])
         # --- chaining (exact port of seed_chain_core) -------------------
         max_off = max(2, IDEPTH - 4)
         diag = pos - offsets[:, None, :, None]
@@ -508,6 +525,168 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         fallback = (seg_over.any((1, 2)) | heavy_over |
                     (n_keep > CAP)) & (skip == 0)
         return hits, hits_off, orient, tot, fallback
+
+    def bitonic_sort_last(x):
+        """Ascending bitonic sort along the last axis (power-of-2 width,
+        static permutations only — compiles to shuffles, no lax.sort)."""
+        n = x.shape[-1]
+        assert n & (n - 1) == 0
+        lane = np.arange(n)
+        k = 2
+        while k <= n:
+            j = k >> 1
+            while j >= 1:
+                xp = x[..., lane ^ j]
+                is_lo = (lane & j) == 0
+                asc = (lane & k) == 0
+                take_min = jnp.asarray(is_lo == asc)
+                x = jnp.where(take_min, jnp.minimum(x, xp),
+                              jnp.maximum(x, xp))
+                j >>= 1
+            k <<= 1
+        return x
+
+    def seed_quarter(idx_args, xcode_f, xcode_r, offsets, n_segs,
+                     min_match0, skip):
+        """v2.5 seed probing via the quartered-key index (index/quarter):
+        4 projection lookups per probe enumerate the exact Hamming<=1
+        candidate set of pemapper's fill_mers (pemapper.c:1969-2003)
+        without the nbr index's 49x storage blow-up.  See
+        index/quarter.py for layout and the abundance-marker scheme."""
+        from ..index.quarter import SUB_BITS, MARKER as Q_MARKER
+        starts_t, cnt_t, epos, eqw = idx_args
+        T1 = dnbr.t1
+        T2E = dnbr.rcap - T1
+        emax = max(epos.shape[0] - 1, 0)
+        wmax = max(eqw.shape[0] - 1, 0)
+        keys2 = make_keys2(xcode_f, xcode_r, offsets)
+        if SSTAGE == 11:
+            return _seed_dummy(keys2)
+
+        # ---- per-quarter projection lookup (2 gathers each) ----------
+        sh_q = jnp.asarray([(3 - q) * 8 for q in range(4)], jnp.uint32)
+        k4 = keys2[..., None]                          # (U, 2, S, 1)
+        qb_p = (k4 >> sh_q) & jnp.uint32(0xFF)         # (U, 2, S, 4)
+        low_mask = (jnp.uint32(1) << sh_q) - jnp.uint32(1)
+        # two sub-width shifts: (k >> 24) >> 8 is defined where k >> 32
+        # is not
+        sub = (((k4 >> sh_q) >> jnp.uint32(8)) << sh_q) | (k4 & low_mask)
+        base = ((jnp.arange(4, dtype=jnp.int32) << SUB_BITS)
+                | sub.astype(jnp.int32))               # (U, 2, S, 4)
+        start = starts_t[base].astype(jnp.int32)
+        cnt = cnt_t[base].astype(jnp.int32)            # saturated 255
+        if SSTAGE == 12:
+            return _seed_dummy(start, cnt)
+
+        def ham_filter(pe_raw, qb_e, qb_probe, qsel, valid):
+            """Base-level Hamming filter of the dropped-quarter byte +
+            abundance-marker poisoning.  Returns (pos-or-PAD, poison)."""
+            x = (qb_e ^ qb_probe) & jnp.uint32(0xFF)
+            f = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55)
+            nm = ((f & 1) + ((f >> jnp.uint32(2)) & 1)
+                  + ((f >> jnp.uint32(4)) & 1)
+                  + ((f >> jnp.uint32(6)) & 1)).astype(jnp.int32)
+            is_mark = valid & (pe_raw >= Q_MARKER)
+            ok = (nm == 1) | ((nm == 0) & (qsel == 0))
+            cand = valid & ~is_mark & ok
+            pos = jnp.where(cand, pe_raw, POS_PAD)
+            poison = is_mark & (nm <= 1)
+            return pos, poison
+
+        # ---- inline tier: first T1 entries of every run --------------
+        jt1 = jnp.arange(T1, dtype=jnp.int32)
+        g1 = start[..., None] + jt1                    # (U, 2, S, 4, T1)
+        v1 = jt1 < cnt[..., None]
+        if "posgather" in PROF_SKIP:
+            pe1 = g1 & 0xFFFFF
+            w0 = (start & 0xFF).astype(jnp.uint32)
+            w1 = w0
+        else:
+            pe1 = epos[jnp.clip(g1, 0, emax)]
+            w0i = start >> 2
+            w0 = eqw[jnp.clip(w0i, 0, wmax)]
+            w1 = eqw[jnp.clip(w0i + 1, 0, wmax)]
+        b1 = (start & 3)[..., None] + jt1              # byte 0..T1+2
+        s0 = (jnp.clip(b1, 0, 3) * 8).astype(jnp.uint32)
+        s1 = (jnp.clip(b1 - 4, 0, 3) * 8).astype(jnp.uint32)
+        qb1 = jnp.where(b1 < 4, (w0[..., None] >> s0) & jnp.uint32(0xFF),
+                        (w1[..., None] >> s1) & jnp.uint32(0xFF))
+        qsel4 = jnp.arange(4, dtype=jnp.int32)[None, None, None, :, None]
+        pos1, poison1 = ham_filter(pe1, qb1, qb_p[..., None], qsel4, v1)
+
+        # ---- spill tier: compacted heavy lookups (cnt > T1) ----------
+        heavy = (cnt > T1).reshape(-1)
+        NF4 = U * 2 * S * 4
+        HV = int(os.environ.get("PECALLER_Q4_HV", "0")) \
+            or max(2048, (NF4 // 4 + 255) & ~255)
+        hc = jnp.cumsum(heavy.astype(jnp.int32))
+        n_heavy = hc[-1]
+        heavy_over = (hc.reshape(U, 2 * S * 4) > HV).any(axis=1)
+        steps_f = max(1, int(np.ceil(np.log2(NF4 + 1))))
+        hsrc = jnp.clip(
+            vsearch_ge(hc, jnp.arange(1, HV + 1, dtype=jnp.int32),
+                       steps_f), 0, NF4 - 1)
+        h_ok = jnp.arange(HV, dtype=jnp.int32) < n_heavy
+        hstart = start.reshape(-1)[hsrc]
+        hcnt = cnt.reshape(-1)[hsrc]
+        hqb_p = qb_p.reshape(-1)[hsrc]
+        hqsel = (hsrc & 3).astype(jnp.int32)
+        jt2 = jnp.arange(T2E, dtype=jnp.int32)
+        g2 = hstart[:, None] + T1 + jt2
+        v2_ = h_ok[:, None] & ((T1 + jt2) < hcnt[:, None])
+        if "posgather" in PROF_SKIP:
+            pe2 = g2 & 0xFFFFF
+            ws = [(hstart & 0xFF).astype(jnp.uint32)] * 4
+        else:
+            pe2 = epos[jnp.clip(g2, 0, emax)]
+            w2i = (hstart + T1) >> 2
+            ws = [eqw[jnp.clip(w2i + j, 0, wmax)]
+                  for j in range((T1 % 4 + T2E + 3) // 4 + 1)]
+        b2 = ((hstart + T1) & 3)[:, None] + jt2
+        wsel = b2 >> 2
+        bsh = ((b2 & 3) * 8).astype(jnp.uint32)
+        qb2 = jnp.zeros(g2.shape, jnp.uint32)
+        for j, w in enumerate(ws):
+            qb2 = jnp.where(wsel == j,
+                            (w[:, None] >> bsh) & jnp.uint32(0xFF), qb2)
+        pos2, poison2 = ham_filter(pe2, qb2, hqb_p[:, None],
+                                   hqsel[:, None], v2_)
+        tgt = jnp.where(h_ok, hsrc, NF4)
+        tail = jnp.full((NF4 + 1, T2E), POS_PAD, jnp.int32).at[tgt].set(
+            pos2, mode="drop")[:NF4].reshape(U, 2, S, 4, T2E)
+        poison_sp = jnp.zeros(NF4 + 1, bool).at[tgt].set(
+            poison2.any(axis=1), mode="drop")[:NF4].reshape(U, 2, S, 4)
+
+        # runs longer than R_CAP can't be fully enumerated on device:
+        # the unit falls back to the exact host engine unless the probe
+        # is already poisoned (then its candidates are unused anyway)
+        poison_q = poison1.any(-1) | poison_sp         # (U, 2, S, 4)
+        poison_probe = poison_q.any(-1)                # (U, 2, S)
+        seg_valid = (jnp.arange(S)[None, :] < n_segs[:, None])
+        seg_in = seg_valid[:, None, :]
+        enum_probe = (cnt > (T1 + T2E)).any(-1)        # (U, 2, S)
+        enum_fb = (enum_probe & ~poison_probe & seg_in).any((1, 2))
+
+        # ---- merge + ascending sort + compaction to seg_cap ----------
+        allpos = jnp.concatenate([pos1, tail], axis=-1)
+        W = 4 * (T1 + T2E)
+        allpos = allpos.reshape(U, 2, S, W)
+        live = seg_in & ~poison_probe
+        allpos = jnp.where(live[..., None], allpos, POS_PAD)
+        cnt_cand = (allpos < POS_PAD).sum(-1)          # (U, 2, S)
+        Wp = 1 << (W - 1).bit_length()
+        if Wp > W:
+            allpos = jnp.pad(allpos, ((0, 0),) * 3 + ((0, Wp - W),),
+                             constant_values=POS_PAD)
+        if SSTAGE == 13:
+            return _seed_dummy(allpos, cnt_cand)
+        pos = bitonic_sort_last(allpos)[..., :seg_cap]
+        seg_over = cnt_cand > seg_cap
+        return chain_dedup_select(pos, cnt_cand, seg_over,
+                                  heavy_over | enum_fb, offsets, n_segs,
+                                  min_match0, skip)
+
+    seed_probe = seed_quarter if quarter_mode else seed_nbr
 
     # ---- decision layer (verbatim semantics from device_pipeline) -------
 
@@ -700,7 +879,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         x4f_w = pack4_dev(xf)
         x4r_w = pack4_dev(xr)
 
-        hits, hits_off, orient, tot, fb = seed_nbr(
+        hits, hits_off, orient, tot, fb = seed_probe(
             idx_args, xf, xr, offsets, n_segs, mm0, skip)
         fb = pairize(fb | fb_pad | exotic)
         tot = jnp.where(fb, 0, tot)
@@ -957,8 +1136,8 @@ class FusedMapperEngine2(MapperEngine):
     """Fused mapping engine v2 (inverted nbr index + scatter-free
     device pipeline).  Same public API as FusedMapperEngine."""
 
-    def __init__(self, *args, nbr: NbrIndex | None = None, mesh=None,
-                 group_k: int | None = None, **kwargs):
+    def __init__(self, *args, nbr: NbrIndex | None = None, quarter=None,
+                 mesh=None, group_k: int | None = None, **kwargs):
         super().__init__(*args, **kwargs)
         from ..utils import enable_compilation_cache
         enable_compilation_cache()
@@ -979,9 +1158,20 @@ class FusedMapperEngine2(MapperEngine):
         if gs >= 2**30:
             raise ValueError("fused device engine requires genome < 2^30 "
                              "bases; use the host engine")
-        if nbr is None:
-            from ..index.nbr import build_nbr_index
-            nbr = build_nbr_index(self.index)
+        if quarter is None and nbr is None:
+            # small genomes get the nbr index (fastest probe: 3-gather
+            # cuckoo); genomes past its ~49x-blow-up cap get the
+            # quartered-key index (v2.5, 4x storage)
+            if os.environ.get("PECALLER_FORCE_Q4") == "1":
+                from ..index.quarter import build_quarter_index
+                quarter = build_quarter_index(self.index)
+            else:
+                from ..index.nbr import build_nbr_index
+                try:
+                    nbr = build_nbr_index(self.index)
+                except ValueError:
+                    from ..index.quarter import build_quarter_index
+                    quarter = build_quarter_index(self.index)
         # mesh (>1 device): the reads axis shards over every device and
         # each shard accumulates its own pileup partial row (VERDICT r2
         # item 4: the reference's qsub fan-out, map_directory_array.pl:101,
@@ -994,7 +1184,11 @@ class FusedMapperEngine2(MapperEngine):
             self.dev_counts = jnp.zeros((self._n_sh, gs * 6), jnp.uint32)
         else:
             self.dev_counts = jnp.zeros(gs * 6, jnp.uint32)
-        self._dnbr = NbrDeviceIndex(nbr)
+        if quarter is not None:
+            from ..index.quarter import QuarterDeviceIndex
+            self._dnbr = QuarterDeviceIndex(quarter)
+        else:
+            self._dnbr = NbrDeviceIndex(nbr)
         cw, mw = pack_genome(self.genome)
         self._gcode = jnp.asarray(cw)
         self._gmask = jnp.asarray(mw)
@@ -1089,7 +1283,9 @@ class FusedMapperEngine2(MapperEngine):
                 fb_pad)
 
     def _seg_bucket(self, s_needed):
-        for b in (8, 12, 20):
+        # 6 covers 100-111 bp reads exactly: probe-lane count (and with
+        # it the quartered path's gather traffic) scales with s_max
+        for b in (6, 8, 12, 20):
             if s_needed <= b:
                 return b
         return 20
@@ -1121,7 +1317,7 @@ class FusedMapperEngine2(MapperEngine):
                    for x in ins]
         h = dict(seqs1=seqs1, lens1=lens1, seqs2=seqs2, lens2=lens2,
                  read_nos=read_nos, n=seqs1.shape[0], B=B,
-                 key=(B, M, N, s_max), ins=ins)
+                 key=(B, M, N, s_max, mr), ins=ins)
         if self._group_k > 1 and self._n_sh == 1:
             # stage; dispatch K batches as ONE scanned device program
             # (2 tunnel RPCs per K batches instead of per batch)

@@ -237,3 +237,33 @@ def test_windowed_streaming_equivalence(call_golden, tmp_path):
                        directory=d, nthreads=2, window_positions=1111)
     run_caller(cfg)
     _compare(d, str(tmp_path / "win"), "refcall")
+
+
+def test_caller_checkpoint_resume(call_golden, tmp_path, monkeypatch):
+    """Crash the caller mid-run; the rerun resumes at the last completed
+    window and every artifact still byte-matches the reference."""
+    import pecaller_tpu.caller.runner as runner_mod
+    d = call_golden
+    cfg = CallerConfig(pileup_ext="pileup",
+                       sdx_path=os.path.join(d, "g.sdx"),
+                       out_base=str(tmp_path / "ck"),
+                       prob_to_call=0.95, theta=0.001, haploid=False,
+                       directory=d, nthreads=2, window_positions=1111,
+                       checkpoint=True)
+    orig = runner_mod._process_window
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise RuntimeError("simulated crash")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(runner_mod, "_process_window", boom)
+    with pytest.raises(RuntimeError):
+        run_caller(cfg)
+    monkeypatch.setattr(runner_mod, "_process_window", orig)
+    assert os.path.exists(str(tmp_path / "ck.cckpt.npz"))
+    run_caller(cfg)
+    assert not os.path.exists(str(tmp_path / "ck.cckpt.npz"))
+    _compare(d, str(tmp_path / "ck"), "refcall")
