@@ -55,8 +55,8 @@ from .device_model import fill_alpha_prior_np
 NO_ALLELES = 6
 MAX_GEN = 14
 
-# site codes
-HARD, EASY, BAD = 0, 1, 2
+# site codes (UNRES is phase-0-internal: "phase 1 must decide")
+HARD, EASY, BAD, UNRES = 0, 1, 2, 3
 
 # conservative slack over the exact 2.3 beam threshold: covers f32
 # summation error (<=14 terms of magnitude <= ~7e4 at the depth gate ->
@@ -97,6 +97,124 @@ def _tables(haploid: bool):
     fact = _factln_table(int(tota.max()) + 1)
     a1 = (fact[tota - 1] - fact[ta - 1].sum(axis=3)).astype(np.float32)
     return ta, tota, a1
+
+
+# --- phase-0: exact-f64 pass/fail tables for simple count patterns -------
+#
+# The overwhelming majority of samples at real sites carry a SIMPLE
+# pattern: every read is the reference base except at most CMAX reads of
+# ONE alternate kind, no Ins reads.  For such a pattern the pass-1
+# margin is a pure function of (ref, alt kind, depth, alt count), so it
+# is precomputed HOST-SIDE IN FLOAT64 with the identical algebra — no
+# f32 error band needed, just P0_EPS for the lgamma-vs-NR-gammln
+# difference (<1e-9).  The device then resolves those samples with one
+# byte gather, and only sites with a non-simple sample reach the f32
+# lgamma screen (phase 1).
+
+TMAX = 512      # phase-0 depth ceiling (deeper sites -> phase 1)
+CMAX = 3        # phase-0 alt-read ceiling
+P0_EPS = 1e-6
+
+
+@functools.lru_cache(maxsize=4)
+def _phase0_tables(haploid: bool):
+    """uint8 pass tables, flat-indexed ((ref*5 + alt)*(TMAX+1) + tot)
+    *(CMAX+1) + c: bit 0 = beam margin > 2.3 + eps (single-config
+    survival), bit 1 = ungated-argmax margin > eps (the indiv >= 4 EM
+    condition)."""
+    from scipy.special import gammaln
+    max_gen = NO_ALLELES if haploid else MAX_GEN
+    ta, tota, _ = _tables(haploid)          # (91, 4, G, 6) int32
+    t_ax = np.arange(TMAX + 1)
+    sc_idx = np.clip(np.minimum(t_ax, 100), 10, 100) - 10     # (T,)
+    g_ax = np.arange(max_gen)
+
+    out = np.zeros((4, 5, TMAX + 1, CMAX + 1), np.uint8)
+    for ref in range(4):
+        ta_r = ta[sc_idx, ref].astype(np.float64)     # (T, G, 6)
+        tota_r = tota[sc_idx, ref].astype(np.float64)  # (T, G)
+        # a1 in f64 (read-independent factln terms)
+        a1 = (gammaln(tota_r) - gammaln(ta_r).sum(-1))
+        base = gammaln(ta_r + 1.0).sum(-1)             # all-zero reads
+        for alt in range(5):
+            for c in range(CMAX + 1):
+                rr = np.maximum(t_ax - c, 0)           # ref reads
+                like = (a1 + base
+                        - gammaln(ta_r[:, :, ref] + 1.0)
+                        + gammaln(ta_r[:, :, ref] + rr[:, None] + 1.0)
+                        - gammaln(tota_r + t_ax[:, None] + 1.0))
+                if alt != ref and c > 0:
+                    like = (like - gammaln(ta_r[:, :, alt] + 1.0)
+                            + gammaln(ta_r[:, :, alt] + c + 1.0))
+                is_ref = g_ax == ref
+                # beam gating: Del genotypes need >= 3 Del reads, Ins
+                # genotypes >= 3 Ins reads (pecaller.c:2621-2625);
+                # phase-0 patterns have Ins = 0 and Del = c iff alt == 4
+                blocked = np.zeros(max_gen, bool)
+                dead_del = not (alt == 4 and c >= 3)
+                blocked[4] = dead_del
+                blocked[5] = True
+                if max_gen > 12:        # diploid het indel genotypes
+                    blocked[12] = dead_del
+                    blocked[13] = True
+                like_ref = np.where(is_ref, like, -np.inf).max(-1)
+                like_beam = np.where(is_ref | blocked, -np.inf,
+                                     like).max(-1)
+                like_any = np.where(is_ref, -np.inf, like).max(-1)
+                pb = (like_ref - like_beam) > (2.3 + P0_EPS)
+                pa = (like_ref - like_any) > P0_EPS
+                valid = t_ax >= c
+                out[ref, alt, :, c] = np.where(
+                    valid, pb.astype(np.uint8) | (pa.astype(np.uint8)
+                                                  << 1), 0)
+    return out.reshape(-1)
+
+
+def _phase0_chunk(reads, ref_int, ctype, *, haploid: bool, indiv: int,
+                  ptab):
+    """Cheap integer screen: resolves BAD sites, ref>=4 sites (HARD),
+    and EASY sites whose every active sample has a simple pattern.
+    Returns codes with UNRES for sites phase 1 must decide."""
+    import jax.numpy as jnp
+
+    ptab = jnp.asarray(ptab)
+    min_depth = 1 if haploid else 2
+    r = reads.astype(jnp.int32)                     # (S, I, 6)
+    tot = r[..., :5].sum(-1)                        # (S, I)
+    active = tot > min_depth
+
+    sum_tot = tot.sum(-1, dtype=jnp.int32)
+    cnt8 = (tot >= 8).sum(-1)
+    CHRY = 2
+    bad = (sum_tot < 8 * indiv) | ((2 * cnt8 < indiv) & (ctype != CHRY))
+
+    ref_raw = ref_int.astype(jnp.int32)[:, None]    # (S, 1)
+    ref_b = jnp.minimum(ref_raw, 3)
+    rref = jnp.take_along_axis(
+        r, jnp.broadcast_to(ref_b[:, :, None],
+                            (r.shape[0], r.shape[1], 1)), axis=2)[..., 0]
+    nonref = tot - rref
+    masked = jnp.where(jnp.arange(5)[None, None, :] == ref_b[..., None],
+                       -1, r[..., :5])
+    c = masked.max(-1)
+    altk = masked.argmax(-1).astype(jnp.int32)
+    simple = (nonref == jnp.maximum(c, 0)) & (r[..., 5] == 0) \
+        & (tot <= TMAX) & (c <= CMAX)
+    c0 = jnp.clip(c, 0, CMAX)
+    flat = (((ref_b * 5 + altk) * (TMAX + 1)
+             + jnp.minimum(tot, TMAX)) * (CMAX + 1) + c0)
+    bits = ptab[flat]
+    pass_beam = (bits & 1) == 1
+    if indiv >= 4:
+        pass_beam = pass_beam & (((bits >> 1) & 1) == 1)
+    samp_easy = (~active) | (simple & pass_beam)
+    easy = samp_easy.all(-1)
+
+    codes = jnp.where(bad, jnp.uint8(BAD),
+                      jnp.where(easy, jnp.uint8(EASY),
+                                jnp.uint8(UNRES)))
+    codes = jnp.where(ref_raw[:, 0] >= 4, jnp.uint8(HARD), codes)
+    return codes
 
 
 def _screen_chunk(reads, ref_int, ctype, *, haploid: bool,
@@ -206,6 +324,9 @@ class CallerScreen:
         ta, tota, a1 = _tables(haploid)
         self._fn = jax.jit(functools.partial(
             _screen_chunk, haploid=haploid, ta=ta, tota=tota, a1=a1))
+        self._fn0 = jax.jit(functools.partial(
+            _phase0_chunk, haploid=haploid, indiv=indiv,
+            ptab=_phase0_tables(haploid)))
 
     def _bucket(self, m: int) -> int:
         b = self.MIN_CHUNK
@@ -213,42 +334,65 @@ class CallerScreen:
             b <<= 1
         return min(b, self.chunk)
 
+    def _dispatch(self, fn, reads, ref_int, ctype, lo, hi):
+        m = hi - lo
+        ck = self._bucket(m)
+        if m < ck:                        # pad the tail into its bucket
+            rd = np.zeros((ck, self.indiv, 6), dtype=np.uint16)
+            rd[:m] = reads[lo:hi]
+            ri = np.zeros(ck, dtype=np.uint8)
+            ri[:m] = ref_int[lo:hi]
+            ct = np.zeros(ck, dtype=np.uint8)
+            ct[:m] = ctype[lo:hi]
+            return fn(rd, ri, ct)
+        return fn(np.ascontiguousarray(reads[lo:hi]),
+                  np.ascontiguousarray(ref_int[lo:hi]),
+                  np.ascontiguousarray(ctype[lo:hi]))
+
+    # pipeline depth bound: at most MAX_PEND chunks in flight so
+    # device-resident input buffers stay O(1) in the window size while
+    # dispatch/fetch still overlap
+    MAX_PEND = 3
+
     def __call__(self, reads: np.ndarray, ref_int: np.ndarray,
                  ctype: np.ndarray) -> np.ndarray:
         """reads (S,I,6) u16, ref_int (S,) 0..3, ctype (S,) -> codes.
 
-        Chunks are dispatched async (jax dispatch does not block) and
-        fetched afterwards, so device compute overlaps both the host
-        slicing of later chunks and earlier fetches."""
+        Two passes: the integer/table phase-0 program resolves simple
+        sites (one byte gather per sample, exact-f64 tables); only
+        UNRES sites reach the f32 lgamma screen (phase 1).  Chunks are
+        dispatched async (jax dispatch does not block) and fetched
+        afterwards, so device compute overlaps host slicing/fetches."""
         n = len(ref_int)
         out = np.empty(n, dtype=np.uint8)
         pend = []
-        # pipeline depth bound: keep at most MAX_PEND chunks in flight so
-        # device-resident input buffers stay O(1) in the window size
-        # while dispatch/fetch still overlap
-        MAX_PEND = 3
         lo = 0
         while lo < n:
-            if len(pend) >= MAX_PEND:
+            if len(pend) >= self.MAX_PEND:
                 plo, phi, pcodes = pend.pop(0)
                 out[plo:phi] = np.asarray(pcodes)[:phi - plo]
             hi = min(lo + self.chunk, n)
-            m = hi - lo
-            ck = self._bucket(m)
-            if m < ck:                    # pad the tail into its bucket
-                rd = np.zeros((ck, self.indiv, 6), dtype=np.uint16)
-                rd[:m] = reads[lo:hi]
-                ri = np.zeros(ck, dtype=np.uint8)
-                ri[:m] = ref_int[lo:hi]
-                ct = np.zeros(ck, dtype=np.uint8)
-                ct[:m] = ctype[lo:hi]
-                pend.append((lo, hi, self._fn(rd, ri, ct)))
-            else:
-                pend.append((lo, hi, self._fn(
-                    np.ascontiguousarray(reads[lo:hi]),
-                    np.ascontiguousarray(ref_int[lo:hi]),
-                    np.ascontiguousarray(ctype[lo:hi]))))
+            pend.append((lo, hi, self._dispatch(self._fn0, reads,
+                                                ref_int, ctype, lo, hi)))
             lo = hi
         for lo, hi, codes in pend:
             out[lo:hi] = np.asarray(codes)[:hi - lo]
+
+        un = np.flatnonzero(out == UNRES)
+        if len(un):
+            rd1 = np.ascontiguousarray(reads[un])
+            ri1 = np.ascontiguousarray(ref_int[un])
+            ct1 = np.ascontiguousarray(ctype[un])
+            pend = []
+            lo = 0
+            while lo < len(un):
+                if len(pend) >= self.MAX_PEND:
+                    psel, pcodes = pend.pop(0)
+                    out[psel] = np.asarray(pcodes)[:len(psel)]
+                hi = min(lo + self.chunk, len(un))
+                pend.append((un[lo:hi], self._dispatch(
+                    self._fn, rd1, ri1, ct1, lo, hi)))
+                lo = hi
+            for sel, codes in pend:
+                out[sel] = np.asarray(codes)[:len(sel)]
         return out

@@ -1200,6 +1200,11 @@ class FusedMapperEngine2(MapperEngine):
         self._st_pad_dev = jnp.asarray(st_pad)
         self._fns = {}
         self.n_fallback = 0
+        # mesh-path instrumentation: host dispatch wall vs device step
+        # wall, so scaling efficiency is measurable the day multi-chip
+        # hardware exists (VERDICT r3 item 6)
+        self.mesh_timing = {"dispatch_s": 0.0, "fetch_s": 0.0,
+                            "batches": 0}
 
     def _fn_for(self, B, M, N, s_max, mr=None):
         key = (B, M, N, s_max, mr)
@@ -1313,8 +1318,12 @@ class FusedMapperEngine2(MapperEngine):
             ins = list(a1)
         if self._n_sh > 1:
             from ..parallel.mesh import shard_units
+            import time as _time
+            t0 = _time.time()
             ins = [shard_units(x, self._n_sh, B, self.paired)
                    for x in ins]
+            self.mesh_timing["dispatch_s"] += _time.time() - t0
+            self.mesh_timing["batches"] += 1
         h = dict(seqs1=seqs1, lens1=lens1, seqs2=seqs2, lens2=lens2,
                  read_nos=read_nos, n=seqs1.shape[0], B=B,
                  key=(B, M, N, s_max, mr), ins=ins)
@@ -1343,6 +1352,11 @@ class FusedMapperEngine2(MapperEngine):
                 g["host"] = np.asarray(g["outs"])
                 g["outs"] = None
             out = g["host"][h["gi"]]
+        elif self._n_sh > 1:
+            import time as _time
+            t0 = _time.time()
+            out = np.asarray(h["out"])
+            self.mesh_timing["fetch_s"] += _time.time() - t0
         else:
             out = np.asarray(h["out"])
         n = h["n"]

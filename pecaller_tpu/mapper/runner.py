@@ -171,6 +171,17 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
         if cfg.checkpoint:
             _save_ckpt(ckpt_path, eng, it + 1, tot_pairs, order_base)
 
+    mt = getattr(eng, "mesh_timing", None)
+    if mt and mt["batches"]:
+        # sharded-path overhead accounting (VERDICT r3 item 6): host
+        # shard-staging + result-fetch walls per batch — the measurable
+        # part of the >=80% 2-host scaling-efficiency claim
+        event(_log, "mesh_overhead", n_shards=eng._n_sh,
+              batches=mt["batches"],
+              dispatch_ms_per_batch=round(
+                  1e3 * mt["dispatch_s"] / mt["batches"], 2),
+              fetch_ms_per_batch=round(
+                  1e3 * mt["fetch_s"] / mt["batches"], 2))
     with stage_timer(_log, "write_outputs"):
         write_outputs(cfg, eng, sdx, genome, tot_pairs, out_base=cur_base)
     if cfg.checkpoint and os.path.exists(ckpt_path):

@@ -107,6 +107,63 @@ def test_screen_matches_native_ped(tmp_path):
     _run_both(d, 3, tmp_path, use_ped=True)
 
 
+def test_screen_adversarial_boundaries(tmp_path):
+    """Manufacture sites exactly at the screen's decision boundaries:
+    margin transitions around the 2.3 beam threshold (ref/alt mixes
+    sweeping the alt count at every depth), the DEPTH_GATE f32-error
+    gate, the phase-0 TMAX/CMAX table ceilings, and Ins-read
+    ineligibility — byte parity vs the pure native path at each
+    (VERDICT r3 weak item 6)."""
+    rng = np.random.default_rng(1234)
+    d = str(tmp_path / "work")
+    os.makedirs(d)
+    g = _mk_sdx(d, rng, L=8000)
+    base_col = {65: 0, 67: 1, 71: 2, 84: 3}
+    from pecaller_tpu.caller.device_screen import (DEPTH_GATE, TMAX,
+                                                   CMAX)
+    patterns = []
+    # margin sweep: at every depth the EASY->HARD transition happens at
+    # some alt count; sweeping c guarantees sites on both sides of
+    # 2.3 +- BAND
+    for depth in range(8, 49, 4):
+        for c in range(0, 6):
+            for alt_off in (1, 2, 3):
+                patterns.append(("snp", depth, c, alt_off))
+    # indel support around the <3 gate at several depths
+    for depth in (10, 24, 40):
+        for c in range(0, 5):
+            patterns.append(("del", depth, c, 0))
+            patterns.append(("ins", depth, c, 0))
+    # phase-0 table ceilings
+    for depth in (TMAX - 2, TMAX - 1, TMAX, TMAX + 1, TMAX + 2):
+        for c in (0, 1, CMAX, CMAX + 1):
+            patterns.append(("snp", depth, c, 1))
+    # f32 depth gate
+    for depth in (DEPTH_GATE - 2, DEPTH_GATE, DEPTH_GATE + 2):
+        for c in (0, 2):
+            patterns.append(("snp", depth, c, 1))
+    n_sites = len(patterns)
+    pos = np.sort(rng.choice(np.arange(20, len(g) - 20), size=n_sites,
+                             replace=False)).astype(np.uint32)
+    indiv = 3
+    cnt = np.zeros((indiv, n_sites, 6), dtype=np.uint16)
+    for k, (kind, depth, c, alt_off) in enumerate(patterns):
+        rc = base_col[g[pos[k]]]
+        for i in range(indiv):
+            cc = np.zeros(6, np.int64)
+            cc[rc] = depth - (c if kind == "snp" else 0)
+            if kind == "snp":
+                cc[(rc + alt_off) % 4] = c
+            elif kind == "del":
+                cc[4] = c
+            else:
+                cc[5] = c
+            cnt[i, k] = np.minimum(cc, 65535)
+    for i in range(indiv):
+        write_pileup(os.path.join(d, f"s{i}.pileup.gz"), pos, cnt[i])
+    _run_both(d, indiv, tmp_path)
+
+
 def test_screen_matches_native_guide(tmp_path):
     """Guide-bed path (per-site haploid chrY/chrMT forcing)."""
     rng = np.random.default_rng(11)
