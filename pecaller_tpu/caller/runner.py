@@ -380,6 +380,7 @@ def run_caller(cfg: CallerConfig):
             for f in _submit(lo):
                 f.result()
         futs = _submit(lo + window)
+        mask_buf = np.zeros(window, dtype=bool)
         while True:
             hi = lo + window
             with ph("read"):
@@ -393,14 +394,20 @@ def run_caller(cfg: CallerConfig):
                 lo = hi
                 continue
             with ph("merge"):
-                all_pos = np.unique(np.concatenate(
-                    [c[0] for c in chunks if len(c[0])]))
-                data = np.zeros((len(all_pos), indiv, 6), dtype=np.uint16)
-                present = np.zeros((len(all_pos), indiv), dtype=bool)
+                # window-bitmap union (positions are window-bounded):
+                # O(window) rank instead of sorting the K-stream concat
+                mask_buf[:] = False
+                for p_, _ in chunks:
+                    mask_buf[p_ - lo] = True
+                rank = np.cumsum(mask_buf, dtype=np.int32)
+                n_pos = int(rank[-1])
+                all_pos = np.flatnonzero(mask_buf) + lo
+                data = np.zeros((n_pos, indiv, 6), dtype=np.uint16)
+                present = np.zeros((n_pos, indiv), dtype=bool)
                 for i, (p_, c_) in enumerate(chunks):
                     if len(p_) == 0:
                         continue
-                    idx = np.searchsorted(all_pos, p_)
+                    idx = rank[p_ - lo] - 1
                     data[idx, i] = c_
                     present[idx, i] = True
             # non-guide quirk: chrY/MT are NOT forced haploid
@@ -466,19 +473,23 @@ class _Accum:
         self.max_cov = np.zeros(indiv, dtype=np.int64)
 
     def add(self, tot_cov, present, count_absent):
-        n = tot_cov.shape[0]
+        n, indiv = tot_cov.shape
         self.tot_bases += n
-        capped = np.minimum(tot_cov, MAX_DIST - 1)
-        for i in range(self.counts_hist.shape[0]):
-            m = present[:, i]
-            cov = np.where(m, tot_cov[:, i], 0)
-            self.mean_sum[i] += cov.sum()
-            self.max_cov[i] = max(self.max_cov[i], int(cov.max(initial=0)))
-            self.counts_hist[i] += np.bincount(
-                capped[:, i], weights=m, minlength=MAX_DIST).astype(
-                np.int64)[:MAX_DIST]
-            self.base_count[i] += n if count_absent \
-                else int(m.sum())
+        # absent samples land in bin 0, which _write_dist recomputes
+        # from tot_bases anyway — so one flat unweighted bincount covers
+        # every sample at once (the per-sample weighted-bincount loop
+        # was a float64 path and a caller hot spot)
+        cov = np.where(present, tot_cov, 0)
+        self.mean_sum += cov.sum(axis=0)
+        self.max_cov = np.maximum(self.max_cov,
+                                  cov.max(axis=0, initial=0))
+        capped = np.minimum(cov, MAX_DIST - 1)
+        flat = capped + np.arange(indiv, dtype=np.int64) * MAX_DIST
+        self.counts_hist += np.bincount(
+            flat.ravel(), minlength=indiv * MAX_DIST).reshape(
+            indiv, MAX_DIST)
+        self.base_count += n if count_absent \
+            else present.sum(axis=0, dtype=np.int64)
 
     def mean_done(self):
         return np.where(self.base_count > 0,
