@@ -133,19 +133,20 @@ def _phase0_tables(haploid: bool):
     for ref in range(4):
         ta_r = ta[sc_idx, ref].astype(np.float64)     # (T, G, 6)
         tota_r = tota[sc_idx, ref].astype(np.float64)  # (T, G)
-        # a1 in f64 (read-independent factln terms)
+        # a1 in f64 (read-independent factln terms); like uses the C
+        # convention factln(x-1) = lgamma(x) throughout
         a1 = (gammaln(tota_r) - gammaln(ta_r).sum(-1))
-        base = gammaln(ta_r + 1.0).sum(-1)             # all-zero reads
+        base = gammaln(ta_r).sum(-1)                   # all-zero reads
         for alt in range(5):
             for c in range(CMAX + 1):
                 rr = np.maximum(t_ax - c, 0)           # ref reads
                 like = (a1 + base
-                        - gammaln(ta_r[:, :, ref] + 1.0)
-                        + gammaln(ta_r[:, :, ref] + rr[:, None] + 1.0)
-                        - gammaln(tota_r + t_ax[:, None] + 1.0))
+                        - gammaln(ta_r[:, :, ref])
+                        + gammaln(ta_r[:, :, ref] + rr[:, None])
+                        - gammaln(tota_r + t_ax[:, None]))
                 if alt != ref and c > 0:
-                    like = (like - gammaln(ta_r[:, :, alt] + 1.0)
-                            + gammaln(ta_r[:, :, alt] + c + 1.0))
+                    like = (like - gammaln(ta_r[:, :, alt])
+                            + gammaln(ta_r[:, :, alt] + c))
                 is_ref = g_ax == ref
                 # beam gating: Del genotypes need >= 3 Del reads, Ins
                 # genotypes >= 3 Ins reads (pecaller.c:2621-2625);
@@ -256,9 +257,11 @@ def _screen_chunk(reads, ref_int, ctype, *, haploid: bool,
     tota_si = jnp.take(tota_d, flat, axis=0)        # (S, I, G)
     a1_si = jnp.take(a1_d, flat, axis=0)            # (S, I, G)
 
-    args = (ta_si + r[:, :, None, :]).astype(jnp.float32) + 1.0
-    tail = (tota_si + (tot + r[..., 5])[..., None]).astype(
-        jnp.float32) + 1.0
+    # factln(n) = lgamma(n+1): C sums factln(ta+r-1) = lgamma(ta+r)
+    # and subtracts factln(tot_tot-1) = lgamma(tota+tot+r5)
+    # (pecaller.c:2448-2507)
+    args = (ta_si + r[:, :, None, :]).astype(jnp.float32)
+    tail = (tota_si + (tot + r[..., 5])[..., None]).astype(jnp.float32)
     like = a1_si + lax.lgamma(args).sum(-1) - lax.lgamma(tail)  # (S,I,G)
 
     g = jnp.arange(max_gen)

@@ -58,6 +58,15 @@ class CallerConfig:
     # device and routes only interesting sites into the exact native
     # float64 engine (see caller/device_screen.py for the parity proof)
     device_screen: bool = True
+    # device (TPU/XLA) joint-configuration beam for HARD sites: the f32
+    # device search proposes each site's surviving config set, an exact
+    # float64 host finisher reproduces the native engine's bytes, and
+    # flagged (boundary/tie/overflow/EM-continuation) sites fall back
+    # to the native engine (see caller/device_beam.py).  Opt-in: after
+    # the two-phase screen the residual is ~0.1% of sites, where the
+    # native engine is faster than per-window beam dispatches; the beam
+    # is for cohorts where host cores, not the chip, are the limit.
+    device_beam: bool = False
     # gzip level for .base.gz/.piles.gz: the artifact contract is the
     # decompressed stream (all parity checks and downstream consumers
     # decompress), so the default trades disk for wall-clock; use 6 to
@@ -341,6 +350,16 @@ def run_caller(cfg: CallerConfig):
         except Exception:           # no usable jax backend: exact path
             screen = None
 
+    beam = None
+    if cfg.device_beam and not cfg.dump_mode and not cfg.use_ped \
+            and screen is not None:
+        try:
+            from .device_beam import DeviceBeam
+            beam = DeviceBeam(indiv, cfg.haploid, cfg.theta,
+                              cfg.prob_to_call)
+        except Exception:
+            beam = None
+
     ck_path = cfg.out_base + ".cckpt.npz"
     resume_lo = 0
     ro = None
@@ -361,7 +380,7 @@ def run_caller(cfg: CallerConfig):
     ph = _Phase()
     ctx = dict(cfg=cfg, sdx=sdx, genome=genome, frag_pos=frag_pos,
                chrom_types=chrom_types, indiv=indiv, lib=lib, model=model,
-               screen=screen, ph=ph)
+               screen=screen, beam=beam, ph=ph)
 
     if cfg.guide_path is None:
         from concurrent.futures import ThreadPoolExecutor
@@ -571,7 +590,39 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
                                    np.int8(14)), where=m2)
         # BAD: the integer bad-base gates fired -> all samples print
         # "N 1" with active=0; the initialized defaults already match.
-        cidx = cidx[codes == 0]            # HARD -> exact native engine
+        cidx = cidx[codes == 0]            # HARD -> beam/exact engine
+
+    beam = ctx.get("beam")
+    if beam is not None and len(cidx):
+        # the device beam proposes each HARD site's surviving config
+        # set; the f64 finisher reproduces the native bytes; flagged
+        # sites (f32 boundary, beam overflow, EM continuation) fall
+        # through to the native engine below
+        hap_want = 1 if cfg.haploid else 0
+        bm = site_haploid[cidx] == hap_want
+        bsel = cidx[bm]
+        rest = cidx[~bm]
+        if len(bsel):
+            from .device_beam import finish_f64
+            with ph("beam"):
+                n_cfg, cfgs, flags, _, _, hrank, hval = beam(
+                    np.ascontiguousarray(data[bsel]),
+                    np.ascontiguousarray(ref_int[bsel].astype(np.uint8)))
+            ok = flags == 0
+            if ok.any():
+                with ph("beam_finish"):
+                    fc, fp, ty, ac_, act_ = finish_f64(
+                        data[bsel[ok]], ref_int[bsel[ok]],
+                        n_cfg[ok], cfgs[ok], hrank[ok], hval[ok],
+                        indiv=indiv, haploid=cfg.haploid,
+                        theta=cfg.theta, threshold=cfg.prob_to_call)
+                sel2 = bsel[ok]
+                out_calls[sel2] = fc
+                out_probs[sel2] = fp
+                out_types[sel2] = ty
+                out_acnt[sel2] = ac_
+                out_active[sel2] = act_
+            cidx = np.sort(np.concatenate([bsel[~ok], rest]))
     ctx_native = ph("native")
     ctx_native.__enter__()
     for lo in range(0, len(cidx), cfg.chunk_sites):

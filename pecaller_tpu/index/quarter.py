@@ -190,9 +190,20 @@ class QuarterDeviceIndex:
     def __init__(self, qi: QuarterIndex):
         import jax.numpy as jnp
         self.t1 = int(os.environ.get("PECALLER_Q4_T1", "4"))
-        self.rcap = int(os.environ.get("PECALLER_Q4_RCAP", "16"))
+        # runs past rcap fall back to the exact host engine: at the
+        # ~2.8 mean run length of a 47 Mb genome P(run > 12) ~ 2e-5, so
+        # the tighter cap trades a negligible fallback rate for ~30% of
+        # the spill tier's gather/scatter traffic
+        self.rcap = int(os.environ.get("PECALLER_Q4_RCAP", "12"))
         self.n_keys = 0
+        # slack entries so the device's contiguous slice-gathers never
+        # clip-shift a window that starts at a valid entry (values are
+        # marker-coded and always masked)
+        pad = self.rcap + 8
+        pos = np.concatenate([np.asarray(qi.pos),
+                              np.full(pad, MARKER, np.int32)])
+        qw = np.concatenate([np.asarray(qi.qw),
+                             np.zeros(pad // 4 + 2, np.uint32)])
         self.args = (jnp.asarray(np.asarray(qi.starts)),
                      jnp.asarray(np.asarray(qi.cnts)),
-                     jnp.asarray(np.asarray(qi.pos)),
-                     jnp.asarray(np.asarray(qi.qw)))
+                     jnp.asarray(pos), jnp.asarray(qw))

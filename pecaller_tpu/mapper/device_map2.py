@@ -595,7 +595,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
 
         # ---- inline tier: first T1 entries of every run --------------
         jt1 = jnp.arange(T1, dtype=jnp.int32)
-        g1 = start[..., None] + jt1                    # (U, 2, S, 4, T1)
+        g1 = start[..., None] + jt1                # (U, 2, S, 4, T1)
         v1 = jt1 < cnt[..., None]
         if "posgather" in PROF_SKIP:
             pe1 = g1 & 0xFFFFF
@@ -617,6 +617,11 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         # ---- spill tier: compacted heavy lookups (cnt > T1) ----------
         heavy = (cnt > T1).reshape(-1)
         NF4 = U * 2 * S * 4
+        # expected heavy fraction ~ P(run > T1) ~= 15% at 47 Mb density
+        # and the per-batch fraction fluctuates (reads cluster), so the
+        # budget needs real margin: a too-tight HV turns the tail of
+        # every batch into heavy_over -> host-fallback storms (measured
+        # 40x collapse at NF4//6)
         HV = int(os.environ.get("PECALLER_Q4_HV", "0")) \
             or max(2048, (NF4 // 4 + 255) & ~255)
         hc = jnp.cumsum(heavy.astype(jnp.int32))
@@ -632,20 +637,20 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         hqb_p = qb_p.reshape(-1)[hsrc]
         hqsel = (hsrc & 3).astype(jnp.int32)
         jt2 = jnp.arange(T2E, dtype=jnp.int32)
-        g2 = hstart[:, None] + T1 + jt2
         v2_ = h_ok[:, None] & ((T1 + jt2) < hcnt[:, None])
+        NW2 = (T1 % 4 + T2E + 3) // 4 + 1
+        g2 = hstart[:, None] + T1 + jt2
         if "posgather" in PROF_SKIP:
             pe2 = g2 & 0xFFFFF
-            ws = [(hstart & 0xFF).astype(jnp.uint32)] * 4
+            ws = [(hstart & 0xFF).astype(jnp.uint32)] * NW2
         else:
             pe2 = epos[jnp.clip(g2, 0, emax)]
             w2i = (hstart + T1) >> 2
-            ws = [eqw[jnp.clip(w2i + j, 0, wmax)]
-                  for j in range((T1 % 4 + T2E + 3) // 4 + 1)]
+            ws = [eqw[jnp.clip(w2i + j, 0, wmax)] for j in range(NW2)]
         b2 = ((hstart + T1) & 3)[:, None] + jt2
         wsel = b2 >> 2
         bsh = ((b2 & 3) * 8).astype(jnp.uint32)
-        qb2 = jnp.zeros(g2.shape, jnp.uint32)
+        qb2 = jnp.zeros(pe2.shape, jnp.uint32)
         for j, w in enumerate(ws):
             qb2 = jnp.where(wsel == j,
                             (w[:, None] >> bsh) & jnp.uint32(0xFF), qb2)

@@ -80,11 +80,22 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
     if cfg.device:
         if sdx.genome_size < 2**30:
             try:
-                # v2 fused pipeline: inverted nbr index (small genomes)
+                # fused pipeline: nbr index for small genomes (fastest
+                # probe), quartered-key index (v2.5) past the nbr
+                # closure's ~49x blow-up cap
                 import jax
-                from ..index.nbr import load_nbr_index
                 from .device_map2 import FusedMapperEngine2
-                nbr = load_nbr_index(base, index)
+                nbr = quarter = None
+                if os.environ.get("PECALLER_FORCE_Q4") == "1":
+                    from ..index.quarter import load_quarter_index
+                    quarter = load_quarter_index(base, index)
+                else:
+                    try:
+                        from ..index.nbr import load_nbr_index
+                        nbr = load_nbr_index(base, index)
+                    except ValueError:
+                        from ..index.quarter import load_quarter_index
+                        quarter = load_quarter_index(base, index)
                 n_sh = cfg.mesh_shards
                 if n_sh is None:
                     n_sh = len(jax.devices())
@@ -93,9 +104,10 @@ def run_mapper(cfg: MapperConfig) -> MapperEngine:
                     from ..parallel.mesh import make_mesh
                     mesh = make_mesh(n_sh, 1)
                 eng = FusedMapperEngine2(sdx, genome, index, nbr=nbr,
-                                         mesh=mesh, **kw)
+                                         quarter=quarter, mesh=mesh,
+                                         **kw)
             except ValueError:
-                # nbr expansion too large: v1 fused pipeline
+                # even the quarter index refused: v1 fused pipeline
                 from .device_pipeline import FusedMapperEngine
                 eng = FusedMapperEngine(sdx, genome, index, **kw)
         else:

@@ -103,13 +103,14 @@ def _compare(d, out_base, ref_base):
             assert f1.read() == f2.read()
 
 
-def test_caller_parity_3samples(call_golden, tmp_path):
+@pytest.mark.parametrize("beam", [False, True])
+def test_caller_parity_3samples(call_golden, tmp_path, beam):
     d = call_golden
     cfg = CallerConfig(pileup_ext="pileup",
                        sdx_path=os.path.join(d, "g.sdx"),
                        out_base=str(tmp_path / "ourcall"),
                        prob_to_call=0.95, theta=0.001, haploid=False,
-                       directory=d, nthreads=2)
+                       directory=d, nthreads=2, device_beam=beam)
     run_caller(cfg)
     _compare(d, str(tmp_path / "ourcall"), "refcall")
 
