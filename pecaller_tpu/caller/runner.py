@@ -503,7 +503,7 @@ class _Accum:
         self.max_cov = np.maximum(self.max_cov,
                                   cov.max(axis=0, initial=0))
         capped = np.minimum(cov, MAX_DIST - 1)
-        flat = capped + np.arange(indiv, dtype=np.int64) * MAX_DIST
+        flat = capped + np.arange(indiv, dtype=np.int32) * MAX_DIST
         self.counts_hist += np.bincount(
             flat.ravel(), minlength=indiv * MAX_DIST).reshape(
             indiv, MAX_DIST)
@@ -524,8 +524,9 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
     ph = ctx.get("ph") or _Phase()
     n_sites = len(all_pos)
     with ph("stats"):
-        # accumulate into i64 without materializing an i64 copy of data
-        tot_cov = data.sum(axis=2, dtype=np.int64)      # (S, I) all 6
+        # i32 is ample (6 * 65535 per site-sample) and halves the
+        # memory traffic of the stats/easy passes on this host
+        tot_cov = data.sum(axis=2, dtype=np.int32)      # (S, I) all 6
         st.add(tot_cov, present, count_absent)
 
     which = find_chrom_caller(frag_pos, sdx.n_contigs,
