@@ -60,6 +60,7 @@ F_EM = 8             # indiv >= 4 and the EM would run another pass
 F_EXP = 16           # a post within BAND of the exp(-40) cutoff
 F_REF = 32           # non-ACGT reference
 F_TIE = 64           # near-tied genotype likes within one sample
+F_DEEP = 128         # depth past the f32 lgamma error gate
 
 
 def _get_het(i, ref):
@@ -261,6 +262,13 @@ def _beam_chunk(reads, ref_int, *, haploid, indiv, c_cap, ta, tota, a1,
 
     flags = jnp.where(gap_flag, jnp.int32(F_ORDER), 0)
     flags = flags | jnp.where(ref_raw >= 4, jnp.int32(F_REF), 0)
+    # the screen routes tot+Ins > DEPTH_GATE sites HARD because f32
+    # lgamma error there exceeds the fixed BAND — those sites are just
+    # as unsafe for the f32 beam, so route them to the native engine
+    # (ADVICE r4)
+    from .device_screen import DEPTH_GATE
+    flags = flags | jnp.where(
+        ((tot + r[..., 5]) > DEPTH_GATE).any(-1), jnp.int32(F_DEEP), 0)
 
     ac_d = jnp.asarray(ac_tab)                      # (4, G+1, 6)
     gorder_d = jnp.asarray(gorder)                  # (4, G)
@@ -280,7 +288,8 @@ def _beam_chunk(reads, ref_int, *, haploid, indiv, c_cap, ta, tota, a1,
         jnp.where(active, ref_b[:, None], NCALL)[:, None, :],
         (S, C, I)).astype(jnp.int8)
     n_cfg = jnp.ones(S, jnp.int32)
-    hrank = jnp.full((S, C), -1, jnp.int8)
+    # int16: cohorts past 127 samples would wrap an int8 rank (ADVICE r4)
+    hrank = jnp.full((S, C), -1, jnp.int16)
     hval = jnp.broadcast_to(ref_b[:, None], (S, C)).astype(jnp.int8)
 
     lp_flat = like_pad.reshape(S * I * (G + 1))
@@ -426,7 +435,7 @@ def _beam_chunk(reads, ref_int, *, haploid, indiv, c_cap, ta, tota, a1,
                     (jnp.arange(C)[None, :] == slot[:, None]))
         calls = jnp.where(inj_slot[:, :, None], hom_calls[:, None, :],
                           calls)
-        hrank = jnp.where(inj_slot, jnp.int8(rank), hrank)
+        hrank = jnp.where(inj_slot, jnp.int16(rank), hrank)
         hval = jnp.where(inj_slot, best_hom[:, None], hval)
         n_cfg = jnp.where(inject, jnp.minimum(n_cfg + 1, C), n_cfg)
         # stable resort including the injected config (enum = last)
@@ -549,7 +558,7 @@ class DeviceBeam:
         flags = np.zeros(n, np.int32)
         call32 = np.zeros((n, self.indiv), np.int8)
         p32 = np.zeros((n, self.indiv), np.float32)
-        hrank = np.zeros((n, C), np.int8)
+        hrank = np.zeros((n, C), np.int16)
         hval = np.zeros((n, C), np.int8)
         pend = []
         lo = 0

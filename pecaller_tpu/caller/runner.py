@@ -612,11 +612,15 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
             ok = flags == 0
             if ok.any():
                 with ph("beam_finish"):
+                    # ctype matters: chrY sites are exempt from the
+                    # <50%-of-samples-at-8x bad gate (pecaller.c:
+                    # 1303-1304; ADVICE r4 high)
                     fc, fp, ty, ac_, act_ = finish_f64(
                         data[bsel[ok]], ref_int[bsel[ok]],
                         n_cfg[ok], cfgs[ok], hrank[ok], hval[ok],
                         indiv=indiv, haploid=cfg.haploid,
-                        theta=cfg.theta, threshold=cfg.prob_to_call)
+                        theta=cfg.theta, threshold=cfg.prob_to_call,
+                        ctype=ctype[bsel[ok]].astype(np.uint8))
                 sel2 = bsel[ok]
                 out_calls[sel2] = fc
                 out_probs[sel2] = fp

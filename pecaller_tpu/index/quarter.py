@@ -105,6 +105,14 @@ def build_quarter_index(index: SeedIndex,
     if 4 * per_q > max_positions:
         raise ValueError(f"quarter index would hold {4 * per_q} entries "
                          f"> cap {max_positions}")
+    # starts are uint32 and device offsets are int32: past 2^31 the
+    # device gather would silently wrap (ADVICE r4).  Genomes that big
+    # go through the sharded build (build_quarter_index_sharded).
+    if 4 * per_q >= 2 ** 31:
+        raise ValueError(
+            f"quarter index would hold {4 * per_q} entries >= 2^31; "
+            "int32 device offsets would overflow — use the sharded "
+            "quarter index (index/shard.py) for genomes this large")
 
     E = 4 * per_q
     out_pos = hp_empty(E, np.int32)

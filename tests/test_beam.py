@@ -11,7 +11,7 @@ import pytest
 
 
 def _native_call(dh, rh, indiv, haploid, theta=0.001, thr=0.95,
-                 nthreads=2):
+                 nthreads=2, ctype=None):
     from pecaller_tpu.caller.native import load_pecall
     from pecaller_tpu.native.build import ptr
     lib, model = load_pecall(
@@ -25,9 +25,10 @@ def _native_call(dh, rh, indiv, haploid, theta=0.001, thr=0.95,
     dn = np.zeros(nb, np.int32)
     ac = np.zeros((nb, 6), np.int32)
     act = np.zeros((nb, indiv), np.uint8)
+    ct = np.zeros(nb, np.uint8) if ctype is None else ctype
     lib.pecall_sites_batch(
         model, ptr(dh, ctypes.c_uint16), ptr(rh, ctypes.c_uint8),
-        ptr(np.zeros(nb, np.uint8), ctypes.c_uint8),
+        ptr(ct, ctypes.c_uint8),
         ptr(np.full(nb, 1 if haploid else 0, np.uint8), ctypes.c_uint8),
         nb, nthreads, ptr(calls, ctypes.c_int8),
         ptr(probs, ctypes.c_double), ptr(types, ctypes.c_uint8),
@@ -111,6 +112,58 @@ def test_beam_matches_native_fuzz(indiv, haploid):
     assert np.array_equal(ty, types[ok])
     assert np.array_equal(ac2, ac[ok])
     assert np.array_equal(act2, act[ok])
+
+
+def test_beam_finisher_chry_gate():
+    """chrY sites are exempt from the <50%-of-samples-at-8x bad gate
+    (pecaller.c:1303-1304): the finisher must honor ctype or it
+    silently zeroes every sample to 'N 1' (ADVICE r4 high)."""
+    from pecaller_tpu.caller.device_beam import DeviceBeam, finish_f64
+    indiv = 3
+    rng = np.random.default_rng(4242)
+    n = 256
+    reads, ref = _fuzz_sites(rng, n, indiv)
+    # force the gate pattern: avg depth >= 8 but only 1 of 3 samples
+    # at >= 8x — on autosomes this is BAD, on chrY it is called
+    for k in range(n):
+        rc = int(ref[k])
+        reads[k] = 0
+        reads[k, 0, rc] = 30 + int(rng.integers(0, 20))
+        reads[k, 1, rc] = int(rng.integers(3, 8))
+        reads[k, 2, rc] = int(rng.integers(3, 8))
+    CHRY = 2
+    ct = np.full(n, CHRY, np.uint8)
+    calls, probs, types, ac, act = _native_call(reads, ref, indiv,
+                                                False, ctype=ct)
+    assert (act.sum(1) > 0).any()       # chrY exemption really fires
+    beam = DeviceBeam(indiv, False, 0.001, 0.95)
+    n_cfg, cfgs, flags, _, _, hrank, hval = beam(reads, ref)
+    ok = flags == 0
+    assert ok.any()
+    fc, fp, ty, ac2, act2 = finish_f64(
+        reads[ok], ref[ok], n_cfg[ok], cfgs[ok], hrank[ok], hval[ok],
+        indiv=indiv, haploid=False, theta=0.001, threshold=0.95,
+        ctype=ct[ok])
+    assert np.array_equal(fc, calls[ok])
+    assert np.array_equal(fp, probs[ok])
+    assert np.array_equal(act2, act[ok])
+
+
+def test_beam_deep_sites_flagged():
+    """Sites past DEPTH_GATE must be flagged off the f32 beam
+    (ADVICE r4 medium)."""
+    from pecaller_tpu.caller.device_beam import DeviceBeam, F_DEEP
+    from pecaller_tpu.caller.device_screen import DEPTH_GATE
+    indiv = 3
+    n = 64
+    reads = np.zeros((n, indiv, 6), np.uint16)
+    ref = np.zeros(n, np.uint8)
+    reads[:, :, 0] = 50
+    reads[::2, 0, 0] = DEPTH_GATE + 100         # deep sample
+    beam = DeviceBeam(indiv, False, 0.001, 0.95)
+    _, _, flags, _, _, _, _ = beam(reads, ref)
+    assert (flags[::2] & F_DEEP).all()
+    assert not (flags[1::2] & F_DEEP).any()
 
 
 def test_beam_total_sites_covered():
