@@ -383,19 +383,29 @@ class CallerScreen:
 
         un = np.flatnonzero(out == UNRES)
         if len(un):
-            rd1 = np.ascontiguousarray(reads[un])
-            ri1 = np.ascontiguousarray(ref_int[un])
-            ct1 = np.ascontiguousarray(ctype[un])
-            pend = []
-            lo = 0
-            while lo < len(un):
-                if len(pend) >= self.MAX_PEND:
-                    psel, pcodes = pend.pop(0)
-                    out[psel] = np.asarray(pcodes)[:len(psel)]
-                hi = min(lo + self.chunk, len(un))
-                pend.append((un[lo:hi], self._dispatch(
-                    self._fn, rd1, ri1, ct1, lo, hi)))
-                lo = hi
-            for sel, codes in pend:
-                out[sel] = np.asarray(codes)[:len(sel)]
+            out[un] = self.phase1(reads[un], ref_int[un], ctype[un])
+        return out
+
+    def phase1(self, reads: np.ndarray, ref_int: np.ndarray,
+               ctype: np.ndarray) -> np.ndarray:
+        """The f32 lgamma screen alone, for sites phase 0 (device or
+        the host native phase-0 in native/screen.c) left UNRES.
+        Returns EASY/BAD/HARD codes."""
+        n = len(ref_int)
+        out = np.empty(n, dtype=np.uint8)
+        rd1 = np.ascontiguousarray(reads)
+        ri1 = np.ascontiguousarray(ref_int)
+        ct1 = np.ascontiguousarray(ctype)
+        pend = []
+        lo = 0
+        while lo < n:
+            if len(pend) >= self.MAX_PEND:
+                plo, phi, pcodes = pend.pop(0)
+                out[plo:phi] = np.asarray(pcodes)[:phi - plo]
+            hi = min(lo + self.chunk, n)
+            pend.append((lo, hi, self._dispatch(
+                self._fn, rd1, ri1, ct1, lo, hi)))
+            lo = hi
+        for lo, hi, codes in pend:
+            out[lo:hi] = np.asarray(codes)[:hi - lo]
         return out

@@ -12,7 +12,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRCS = [os.path.join(_HERE, "native", "pecall.c"),
-         os.path.join(_HERE, "native", "rowfmt.c")]
+         os.path.join(_HERE, "native", "rowfmt.c"),
+         os.path.join(_HERE, "native", "screen.c")]
 _LIB = None
 _KEEPALIVE = []
 
@@ -56,8 +57,63 @@ def _lib():
         ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_char), ctypes.c_int64]
     lib.format_base_rows.restype = ctypes.c_int64
+    lib.format_base_runs.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.format_base_runs.restype = ctypes.c_int64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.merge_window.argtypes = [
+        i64p, u16p, i64p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, u8p, ctypes.POINTER(ctypes.c_int32), i64p, u16p,
+        u8p]
+    lib.merge_window.restype = ctypes.c_int64
+    lib.screen_stats_window.argtypes = [
+        u16p, u8p, u8p, u8p, u8p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, u8p, ctypes.POINTER(ctypes.c_int8), u8p, i64p,
+        i64p, i64p, i64p]
+    lib.screen_stats_window.restype = None
     _LIB = lib
     return lib
+
+
+def host_screen_stats(reads, present, ref_int, ctype, ptab, indiv,
+                      haploid, nthreads, hist, mean_sum, max_cov,
+                      base_count, codes=None, out_calls=None,
+                      out_active=None):
+    """Fused host phase-0 screen + coverage stats (native/screen.c).
+    reads (S,I,6) u16 C-contig, present (S,I) u8/bool, ref_int/ctype
+    (S,) u8.  Accumulates stats in place (int64 arrays); returns
+    (codes, out_calls, out_active) — EASY rows carry call/active, all
+    other rows the 'N 1'/inactive defaults.  Pass preallocated outputs
+    to reuse window buffers."""
+    from .device_screen import TMAX, CMAX
+    lib = _lib()
+    S = len(ref_int)
+    if codes is None:
+        codes = np.empty(S, np.uint8)
+        out_calls = np.empty((S, indiv), np.int8)
+        out_active = np.empty((S, indiv), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.screen_stats_window(
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        present.ctypes.data_as(u8p), ref_int.ctypes.data_as(u8p),
+        ctype.ctypes.data_as(u8p), ptab.ctypes.data_as(u8p),
+        S, indiv, 1 if haploid else 0, TMAX, CMAX,
+        1 if indiv >= 4 else 0, nthreads, codes.ctypes.data_as(u8p),
+        out_calls.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        out_active.ctypes.data_as(u8p), hist.ctypes.data_as(i64p),
+        mean_sum.ctypes.data_as(i64p), max_cov.ctypes.data_as(i64p),
+        base_count.ctypes.data_as(i64p))
+    return codes, out_calls, out_active
 
 
 def format_base_rows(frag: bytes, pos, refc, calls, active) -> bytes:
@@ -83,6 +139,51 @@ def format_base_rows(frag: bytes, pos, refc, calls, active) -> bytes:
     if wrote < 0:
         raise RuntimeError("format_base_rows buffer overflow")
     return buf.raw[:wrote]
+
+
+def format_runs(sdx, run_a, run_b, run_frag, gpos, gref, gcalls, gact,
+                indiv, cache):
+    """One-call bulk formatting of every fast run in a window
+    (format_base_runs in native/rowfmt.c).  ``cache`` holds the frag
+    name table and the grown hugepage output buffer across windows.
+    Returns (byte buffer, per-run offsets)."""
+    from ..utils.hugemem import hp_empty
+    lib = _lib()
+    ft = getattr(cache, "_frag_tab", None)
+    if ft is None or cache._frag_sdx is not sdx:
+        names = [nm.encode() for nm in sdx.names]
+        cat = b"".join(names)
+        off = np.zeros(len(names) + 1, np.int64)
+        off[1:] = np.cumsum([len(n) for n in names])
+        cache._frag_tab = (cat, off,
+                           max((len(n) for n in names), default=1))
+        cache._frag_sdx = sdx
+        ft = cache._frag_tab
+    cat, foff, maxfrag = ft
+    ra = np.asarray(run_a, np.int64)
+    rb = np.asarray(run_b, np.int64)
+    rf = np.asarray(run_frag, np.int32)
+    nrows = int((rb - ra).sum())
+    cap = nrows * (26 + maxfrag + 4 * indiv) + 16
+    buf = getattr(cache, "_fmt_buf", None)
+    if buf is None or len(buf) < cap:
+        buf = hp_empty(int(cap * 1.2), np.uint8)
+        cache._fmt_buf = buf
+    offs = np.zeros(len(ra) + 1, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    wrote = lib.format_base_runs(
+        cat, foff.ctypes.data_as(i64p),
+        rf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ra.ctypes.data_as(i64p), rb.ctypes.data_as(i64p), len(ra),
+        gpos.ctypes.data_as(i64p), gref.ctypes.data_as(u8p),
+        gcalls.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        gact.ctypes.data_as(u8p), indiv,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), len(buf),
+        offs.ctypes.data_as(i64p))
+    if wrote < 0:
+        raise RuntimeError("format_base_runs buffer overflow")
+    return buf, offs
 
 
 def load_pecall(indiv, haploid, theta, denovo_rate, threshold, use_ped,

@@ -52,12 +52,21 @@ class CallerConfig:
     # no .snp rows
     dump_mode: bool = False
     # genome positions per streaming window (non-guide path); bounds RAM
-    # at ~window*indiv*12 bytes regardless of genome size
-    window_positions: int = 1 << 23
+    # at ~window*indiv*12 bytes regardless of genome size.  Smaller
+    # windows overlap read-ahead/deflate with compute better
+    window_positions: int = 1 << 22
     # device (TPU/XLA) site screen: resolves provably-boring sites on
     # device and routes only interesting sites into the exact native
     # float64 engine (see caller/device_screen.py for the parity proof)
     device_screen: bool = True
+    # host-native phase-0 screen (native/screen.c): the SAME simple-
+    # pattern/table classification as the device phase-0, but run on the
+    # host where it costs one byte-gather per sample and ZERO bytes over
+    # the host<->device link (~40 MB/s on a tunneled chip; the full
+    # count window is 36 B/site).  The transcendental phase-1 screen and
+    # the config beam stay on the device.  Set False to screen phase 0
+    # on the device too (e.g. PCIe-attached chips with idle host cores).
+    host_screen: bool = True
     # device (TPU/XLA) joint-configuration beam for HARD sites: the f32
     # device search proposes each site's surviving config set, an exact
     # float64 host finisher reproduces the native engine's bytes, and
@@ -199,15 +208,43 @@ class _ChunkedStream:
         return self._eof and len(self._buf) == 0
 
 
-class _BgFile:
-    """Write-behind wrapper: ``write`` enqueues, a worker thread runs the
-    gzip deflate + OS write (zlib drops the GIL, so compression overlaps
-    the next window's compute).  Bounded queue gives backpressure."""
+def _gz_member(data: bytes, level: int) -> bytes:
+    """Deflate one standalone gzip member (zlib releases the GIL)."""
+    import zlib
+    co = zlib.compressobj(level, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
 
-    def __init__(self, f, max_queue: int = 64):
+
+class _MemberGz:
+    """Ordered multi-member gzip writer.
+
+    Large blocks are deflated as independent gzip members by a shared
+    thread pool (zlib drops the GIL, so on this 2-core host the deflate
+    of window N overlaps the compute of window N+1 and uses both cores
+    when the main thread is blocked on the device); one writer thread
+    emits the compressed members strictly in submission order.  The
+    artifact contract is the decompressed stream (concatenated gzip
+    members decompress as one stream — the same property the
+    window-granular checkpoint/resume relies on): ``member_end``
+    returns a raw byte offset at a member boundary, and a resume
+    truncates to it and appends fresh members."""
+
+    CUT = 1 << 22              # coalesced literal bytes per member
+
+    def __init__(self, path, level, pool, resume_offset=None,
+                 max_queue: int = 8):
         import queue
         import threading
-        self._f = f
+        if resume_offset is not None:
+            self._raw = open(path, "r+b")
+            self._raw.truncate(resume_offset)
+            self._raw.seek(resume_offset)
+        else:
+            self._raw = open(path, "wb")
+        self._level = level
+        self._pool = pool
+        self._parts = []
+        self._psize = 0
         self._q = queue.Queue(maxsize=max_queue)
         self._exc = None
         self._ev = threading.Event
@@ -219,68 +256,64 @@ class _BgFile:
             item = self._q.get()
             if item is None:
                 return
-            if not isinstance(item, bytes):
+            if not hasattr(item, "result"):
                 item.set()              # flush barrier
                 continue
             try:
-                self._f.write(item)
+                self._raw.write(item.result())
             except Exception as e:     # surfaced on next write/close
                 self._exc = e
 
-    def write(self, data):
+    def _check(self):
         if self._exc is not None:
             raise self._exc
-        self._q.put(data)
+
+    def write(self, data: bytes):
+        """Ordered literal bytes; coalesced into the next member."""
+        self._check()
+        self._parts.append(data)
+        self._psize += len(data)
+        if self._psize >= self.CUT:
+            self._cut()
+
+    def submit(self, fn):
+        """Ordered lazy block: ``fn()`` produces the bytes; format and
+        deflate both run in the pool.  Pending literal bytes become the
+        member's prefix so the stream order is preserved."""
+        self._check()
+        prefix = b"".join(self._parts)
+        self._parts, self._psize = [], 0
+        lvl = self._level
+
+        def job():
+            return _gz_member(prefix + fn(), lvl)
+        self._q.put(self._pool.submit(job))
+
+    def _cut(self):
+        if not self._parts:
+            return
+        data = b"".join(self._parts)
+        self._parts, self._psize = [], 0
+        self._q.put(self._pool.submit(_gz_member, data, self._level))
 
     def flush(self):
-        """Block until every queued buffer reached the underlying file."""
+        """Every byte written so far reaches the underlying file."""
+        self._cut()
         ev = self._ev()
         self._q.put(ev)
         ev.wait()
-        if self._exc is not None:
-            raise self._exc
-
-    def close(self):
-        self._q.put(None)
-        self._t.join()
-        if self._exc is not None:
-            raise self._exc
-        self._f.close()
-
-
-class _CkptGz:
-    """Gzip writer whose stream can be finalized at checkpoint
-    boundaries: ``member_end`` closes the current gzip member and
-    returns the raw byte offset — a later resume truncates to that
-    offset and appends a new member (concatenated members decompress as
-    one stream, which is the artifact contract)."""
-
-    def __init__(self, path, level, resume_offset=None):
-        if resume_offset is not None:
-            self._raw = open(path, "r+b")
-            self._raw.truncate(resume_offset)
-            self._raw.seek(resume_offset)
-        else:
-            self._raw = open(path, "wb")
-        self._level = level
-        self._gz = None
-
-    def write(self, data):
-        if self._gz is None:
-            self._gz = gzip.GzipFile(fileobj=self._raw, mode="wb",
-                                     compresslevel=self._level)
-        self._gz.write(data)
+        self._check()
 
     def member_end(self) -> int:
-        if self._gz is not None:
-            self._gz.close()
-            self._gz = None
+        self.flush()
         self._raw.flush()
         return self._raw.tell()
 
     def close(self):
-        if self._gz is not None:
-            self._gz.close()
+        self._cut()
+        self._q.put(None)
+        self._t.join()
+        self._check()
         self._raw.close()
 
 
@@ -385,7 +418,10 @@ def run_caller(cfg: CallerConfig):
     if cfg.guide_path is None:
         from concurrent.futures import ThreadPoolExecutor
         streams = [_ChunkedStream(p) for p in files]
-        window = cfg.window_positions
+        # ~23*indiv+43 bytes/window-position across all reusable
+        # buffers: cap the resident set at ~2 GB for large cohorts
+        window = min(cfg.window_positions,
+                     max(1 << 20, (2 << 30) // (23 * indiv + 43)))
         lo = resume_lo
         # per-stream gz decompression releases the GIL: overlap it, and
         # double-buffer — the NEXT window's reads are submitted before
@@ -399,7 +435,15 @@ def run_caller(cfg: CallerConfig):
             for f in _submit(lo):
                 f.result()
         futs = _submit(lo + window)
-        mask_buf = np.zeros(window, dtype=bool)
+        # reusable window buffers (hugepage-backed: this VM faults
+        # fresh 4 KiB pages at ~40 MB/s, so per-window allocation of
+        # the multi-hundred-MB merge target would dominate); cached
+        # across run_caller calls so repeated runs skip first-touch
+        bufs = _window_bufs(window, indiv)
+        mask_buf, rank_buf, pos_buf, data_buf, pres_buf = bufs.merge
+        ctx["bufs"] = bufs
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
         while True:
             hi = lo + window
             with ph("read"):
@@ -413,22 +457,31 @@ def run_caller(cfg: CallerConfig):
                 lo = hi
                 continue
             with ph("merge"):
-                # window-bitmap union (positions are window-bounded):
-                # O(window) rank instead of sorting the K-stream concat
-                mask_buf[:] = False
-                for p_, _ in chunks:
-                    mask_buf[p_ - lo] = True
-                rank = np.cumsum(mask_buf, dtype=np.int32)
-                n_pos = int(rank[-1])
-                all_pos = np.flatnonzero(mask_buf) + lo
-                data = np.zeros((n_pos, indiv, 6), dtype=np.uint16)
-                present = np.zeros((n_pos, indiv), dtype=bool)
-                for i, (p_, c_) in enumerate(chunks):
-                    if len(p_) == 0:
-                        continue
-                    idx = rank[p_ - lo] - 1
-                    data[idx, i] = c_
-                    present[idx, i] = True
+                # window-bitmap union + dense scatter, threaded in C
+                # (native/screen.c merge_window)
+                offs = np.zeros(indiv + 1, np.int64)
+                offs[1:] = np.cumsum([len(p_) for p_, _ in chunks])
+                cat_pos = np.concatenate(
+                    [p_ for p_, _ in chunks]) if offs[-1] else \
+                    np.zeros(0, np.int64)
+                cat_cnt = np.concatenate(
+                    [c_ for _, c_ in chunks]) if offs[-1] else \
+                    np.zeros((0, 6), np.uint16)
+                n_pos = lib.merge_window(
+                    cat_pos.ctypes.data_as(i64p),
+                    cat_cnt.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint16)),
+                    offs.ctypes.data_as(i64p), indiv, lo, window,
+                    cfg.nthreads, mask_buf.ctypes.data_as(u8p),
+                    rank_buf.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)),
+                    pos_buf.ctypes.data_as(i64p),
+                    data_buf.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint16)),
+                    pres_buf.ctypes.data_as(u8p))
+                all_pos = pos_buf[:n_pos]
+                data = data_buf[:n_pos]
+                present = pres_buf[:n_pos]
             # non-guide quirk: chrY/MT are NOT forced haploid
             # (only the guide path does, pecaller.c:968-969)
             hap = np.full(len(all_pos), 1 if cfg.haploid else 0, np.uint8)
@@ -487,7 +540,9 @@ class _Accum:
     def __init__(self, indiv):
         self.tot_bases = 0
         self.counts_hist = np.zeros((indiv, MAX_DIST), dtype=np.int64)
-        self.mean_sum = np.zeros(indiv)
+        # int64 (coverage is integral): lets native/screen.c accumulate
+        # all four directly in its fused stats pass
+        self.mean_sum = np.zeros(indiv, dtype=np.int64)
         self.base_count = np.zeros(indiv, dtype=np.int64)
         self.max_cov = np.zeros(indiv, dtype=np.int64)
 
@@ -516,6 +571,38 @@ class _Accum:
                         self.mean_sum)
 
 
+class _WindowBufs:
+    """Reusable per-window output buffers (hugepage-backed; this VM
+    faults fresh pages at ~40 MB/s, so per-window np.zeros/np.ones of
+    these would dominate the pipeline)."""
+
+    def __init__(self, window, indiv):
+        from ..utils.hugemem import hp_empty
+        self.calls = hp_empty((window, indiv), np.int8)
+        self.active = hp_empty((window, indiv), np.uint8)
+        self.probs = hp_empty((window, indiv), np.float64)
+        self.types = hp_empty(window, np.uint8)
+        self.denovo = hp_empty(window, np.int32)
+        self.acnt = hp_empty((window, 6), np.int32)
+        self.codes = hp_empty(window, np.uint8)
+        self.merge = (hp_empty(window, np.uint8),
+                      hp_empty(window, np.int32),
+                      hp_empty(window, np.int64),
+                      hp_empty((window, indiv, 6), np.uint16),
+                      hp_empty((window, indiv), np.uint8))
+
+
+_BUF_CACHE: dict = {}
+
+
+def _window_bufs(window, indiv):
+    key = (window, indiv)
+    if key not in _BUF_CACHE:
+        _BUF_CACHE.clear()              # one live geometry at a time
+        _BUF_CACHE[key] = _WindowBufs(window, indiv)
+    return _BUF_CACHE[key]
+
+
 def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
                     count_absent):
     cfg, sdx = ctx["cfg"], ctx["sdx"]
@@ -523,11 +610,6 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
     indiv = ctx["indiv"]
     ph = ctx.get("ph") or _Phase()
     n_sites = len(all_pos)
-    with ph("stats"):
-        # i32 is ample (6 * 65535 per site-sample) and halves the
-        # memory traffic of the stats/easy passes on this host
-        tot_cov = data.sum(axis=2, dtype=np.int32)      # (S, I) all 6
-        st.add(tot_cov, present, count_absent)
 
     which = find_chrom_caller(frag_pos, sdx.n_contigs,
                               max((sdx.n_contigs - 1) // 2, 0), all_pos)
@@ -541,6 +623,35 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
         raise RuntimeError("illegal genome character at a called site")
     ref_int = ref_int.astype(np.int32)
 
+    host = cfg.host_screen
+    codes = out_calls = out_active = None
+    if host:
+        # fused host phase-0 screen + stats (native/screen.c): one
+        # threaded pass over the window, zero device transfer
+        from .device_screen import _phase0_tables, EASY, BAD, UNRES, HARD
+        from .native import host_screen_stats
+        bufs = ctx.get("bufs")
+        if bufs is not None and n_sites <= len(bufs.types):
+            codes = bufs.codes[:n_sites]
+            out_calls = bufs.calls[:n_sites]
+            out_active = bufs.active[:n_sites]
+        with ph("screen"):
+            presc = np.zeros(indiv, np.int64)
+            ref_u8 = ref_int.astype(np.uint8)
+            codes, out_calls, out_active = host_screen_stats(
+                data, present, ref_u8, ctype, _phase0_tables(cfg.haploid),
+                indiv, cfg.haploid, cfg.nthreads, st.counts_hist,
+                st.mean_sum, st.max_cov, presc, codes, out_calls,
+                out_active)
+            st.tot_bases += n_sites
+            st.base_count += n_sites if count_absent else presc
+    else:
+        with ph("stats"):
+            # i32 is ample (6 * 65535 per site-sample) and halves the
+            # memory traffic of the stats/easy passes on this host
+            tot_cov = data.sum(axis=2, dtype=np.int32)  # (S, I) all 6
+            st.add(tot_cov, present, count_absent)
+
     if cfg.dump_mode:
         from ..formats.sdx import find_chrom_dump
         dwhich = find_chrom_dump(frag_pos, sdx.n_contigs, all_pos)
@@ -551,22 +662,72 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
         return
 
     callable_m = ref_int < 6
-    out_calls = np.full((n_sites, indiv), 14, dtype=np.int8)
-    out_probs = np.ones((n_sites, indiv), dtype=np.float64)
-    out_types = np.zeros(n_sites, dtype=np.uint8)
-    out_denovo = np.zeros(n_sites, dtype=np.int32)
-    out_acnt = np.zeros((n_sites, 6), dtype=np.int32)
-    out_active = np.zeros((n_sites, indiv), dtype=np.uint8)
-
-    cidx = np.nonzero(callable_m)[0]
+    hap_want = 1 if cfg.haploid else 0
     screen = ctx.get("screen")
-    if screen is not None and len(cidx):
-        from .device_screen import EASY, BAD
+    if host:
+        bufs = ctx.get("bufs")
+        if bufs is not None and n_sites <= len(bufs.types):
+            # no fills needed: with codes-based fast detection the
+            # probs/types/denovo/acnt of a row are only ever read for
+            # HARD rows, and every HARD row is written by the beam or
+            # the native engine before the writer reads it
+            out_probs = bufs.probs[:n_sites]
+            out_types = bufs.types[:n_sites]
+            out_denovo = bufs.denovo[:n_sites]
+            out_acnt = bufs.acnt[:n_sites]
+        else:
+            out_probs = np.ones((n_sites, indiv), dtype=np.float64)
+            out_types = np.zeros(n_sites, dtype=np.uint8)
+            out_denovo = np.zeros(n_sites, dtype=np.int32)
+            out_acnt = np.zeros((n_sites, 6), dtype=np.int32)
+
+        # the screen classified under cfg.haploid; forced-haploid sites
+        # (guide-path chrY/MT in a diploid run) must go to the exact
+        # engine instead of trusting an EASY/UNRES verdict
+        mm = site_haploid != hap_want
+        if mm.any():
+            codes[mm & ((codes == EASY) | (codes == UNRES))] = HARD
+        cidx = np.nonzero(callable_m & (codes != EASY)
+                          & (codes != BAD))[0]
+        un = cidx[codes[cidx] == UNRES]
+        if len(un):
+            if screen is not None:
+                with ph("phase1"):
+                    c1 = screen.phase1(np.ascontiguousarray(data[un]),
+                                       ref_u8[un], ctype[un])
+                codes[un] = c1
+                ne = un[c1 == EASY]
+                if len(ne):
+                    min_depth = 1 if cfg.haploid else 2
+                    tot5 = data[ne, :, :5].sum(2, dtype=np.int32)
+                    act = tot5 > min_depth
+                    out_active[ne] = act.astype(np.uint8)
+                    out_calls[ne] = np.where(
+                        act, ref_int[ne, None].astype(np.int8),
+                        np.int8(14))
+                cidx = cidx[codes[cidx] == HARD]
+            else:                       # no device: exact engine decides
+                codes[un] = HARD
+    else:
+        out_calls = np.full((n_sites, indiv), 14, dtype=np.int8)
+        out_probs = np.ones((n_sites, indiv), dtype=np.float64)
+        out_types = np.zeros(n_sites, dtype=np.uint8)
+        out_denovo = np.zeros(n_sites, dtype=np.int32)
+        out_acnt = np.zeros((n_sites, 6), dtype=np.int32)
+        out_active = np.zeros((n_sites, indiv), dtype=np.uint8)
+        cidx = np.nonzero(callable_m)[0]
+
+    if not host and screen is not None and len(cidx):
+        from .device_screen import EASY, BAD, HARD
         all_callable = len(cidx) == n_sites
         with ph("screen"):
             codes = screen(data if all_callable else data[cidx],
                            ref_int[cidx].astype(np.uint8),
                            ctype[cidx].astype(np.uint8))
+        # forced-haploid sites: same exact-engine routing as above
+        mm = site_haploid[cidx] != hap_want
+        if mm.any():
+            codes[mm & (codes == EASY)] = HARD
         # EASY: every active sample is hom-ref beyond the 2.3 beam
         # threshold -> the exact beam keeps one config; posterior is
         # exactly 1.0, call = ref, site type REF (out_probs init 1.0,
@@ -661,29 +822,30 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
     with ph("write"):
         w.write_calls_window(sdx, which, contig_pos, refc, callable_m,
                              data, out_calls, out_probs, out_types,
-                             out_denovo, out_acnt, out_active)
+                             out_denovo, out_acnt, out_active,
+                             codes=codes if host else None)
 
 
 class _SiteWriters:
     """Incremental .base.gz/.snp/.piles.gz writers (headers once)."""
 
+    # fast rows formatted+deflated per ~256k-row pool task: bounds each
+    # task's buffer at ~10 MB (this VM faults fresh pages at ~40 MB/s,
+    # so giant one-shot buffers would dominate) and keeps both cores fed
+    FMT_CHUNK = 1 << 18
+    # runs shorter than this format inline instead of per-run pool tasks
+    SUBMIT_MIN = 1 << 15
+
     def __init__(self, cfg, sample_names, resume_offsets=None):
+        from concurrent.futures import ThreadPoolExecutor
         self.cfg = cfg
         self.indiv = len(sample_names)
         ro = resume_offsets or {}
-        if cfg.checkpoint:
-            self._base_gz = _CkptGz(cfg.out_base + ".base.gz",
-                                    cfg.gzip_level, ro.get("base"))
-            self._pile_gz = _CkptGz(cfg.out_base + ".piles.gz",
-                                    cfg.gzip_level, ro.get("pile"))
-            self.basef = _BgFile(self._base_gz)
-            self.pilef = _BgFile(self._pile_gz)
-        else:
-            self._base_gz = self._pile_gz = None
-            self.basef = _BgFile(gzip.open(cfg.out_base + ".base.gz", "wb",
-                                           compresslevel=cfg.gzip_level))
-            self.pilef = _BgFile(gzip.open(cfg.out_base + ".piles.gz", "wb",
-                                           compresslevel=cfg.gzip_level))
+        self._pool = ThreadPoolExecutor(max_workers=3)
+        self.basef = _MemberGz(cfg.out_base + ".base.gz", cfg.gzip_level,
+                               self._pool, ro.get("base"))
+        self.pilef = _MemberGz(cfg.out_base + ".piles.gz", cfg.gzip_level,
+                               self._pool, ro.get("pile"))
         if cfg.dump_mode:
             if not ro:
                 open(cfg.out_base + ".snp", "w").close()
@@ -710,10 +872,8 @@ class _SiteWriters:
     def sync_offsets(self):
         """Finalize the current gzip members; return raw byte offsets
         for a checkpoint record (checkpoint mode only)."""
-        self.basef.flush()
-        self.pilef.flush()
-        offs = {"base": self._base_gz.member_end(),
-                "pile": self._pile_gz.member_end()}
+        offs = {"base": self.basef.member_end(),
+                "pile": self.pilef.member_end()}
         if self.snpf:
             self.snpf.flush()
             offs["snp"] = self.snpf.tell()
@@ -722,7 +882,8 @@ class _SiteWriters:
         return offs
 
     def write_calls_window(self, sdx, which, contig_pos, refc, callable_m,
-                           data, calls, probs, types, denovo, acnt, active):
+                           data, calls, probs, types, denovo, acnt, active,
+                           codes=None):
         idx = np.nonzero(callable_m)[0]
         if len(idx) == 0:
             return
@@ -730,25 +891,54 @@ class _SiteWriters:
         # emit no .snp/.piles row are bulk-formatted at C speed
         # (screen-resolved sites, plus any exact-engine REF site whose
         # posteriors are exactly 1.0 — identical bytes either way)
-        fast = (types[idx] == 0) & (probs[idx] == 1.0).all(axis=1)
+        if codes is not None:
+            # screen codes decide all but the dispatched (HARD) rows,
+            # so the dense (S, I) float64 posterior gather reduces to
+            # the hard subset
+            from .device_screen import EASY, BAD
+            cs = codes[idx]
+            fast = (cs == EASY) | (cs == BAD)
+            hard = np.nonzero(~fast)[0]
+            if len(hard):
+                hs = idx[hard]
+                fast[hard] = (types[hs] == 0) & \
+                    (probs[hs] == 1.0).all(axis=1)
+        else:
+            fast = (types[idx] == 0) & (probs[idx] == 1.0).all(axis=1)
         wh = which[idx]
         change = np.empty(len(idx), dtype=bool)
         change[0] = True
         change[1:] = (fast[1:] != fast[:-1]) | (wh[1:] != wh[:-1])
         bounds = np.nonzero(change)[0].tolist()
         bounds.append(len(idx))
-        from .native import format_base_rows
+        # ALL fast runs format in ONE native call (variant sites
+        # fragment a window into thousands of runs; a ctypes round-trip
+        # per run was the write phase's hot spot): gather the window's
+        # callable rows once, hand the run list to format_base_runs,
+        # then interleave the returned byte spans with the slow rows
+        gpos = np.ascontiguousarray(contig_pos[idx], dtype=np.int64)
+        gref = np.ascontiguousarray(refc[idx])
+        gcalls = np.ascontiguousarray(calls[idx])
+        gact = np.ascontiguousarray(active[idx])
+        run_a, run_b, run_frag = [], [], []
         for a, b in zip(bounds[:-1], bounds[1:]):
-            sel = idx[a:b]
             if fast[a]:
-                frag = sdx.names[wh[a]].encode()
-                self.basef.write(format_base_rows(
-                    frag, contig_pos[sel], refc[sel], calls[sel],
-                    active[sel]))
+                run_a.append(a)
+                run_b.append(b)
+                run_frag.append(wh[a])
+        if run_a:
+            from .native import format_runs
+            buf, offs = format_runs(sdx, run_a, run_b, run_frag, gpos,
+                                    gref, gcalls, gact, self.indiv, self)
+        k = 0
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if fast[a]:
+                self.basef.write(buf[offs[k]:offs[k + 1]].tobytes())
+                k += 1
             else:
                 self._write_slow_rows(sdx, which, contig_pos, refc, data,
                                       calls, probs, types, denovo, acnt,
-                                      active, sel)
+                                      active, idx[a:b])
 
     def _write_slow_rows(self, sdx, which, contig_pos, refc, data, calls,
                          probs, types, denovo, acnt, active, sel):
@@ -808,6 +998,7 @@ class _SiteWriters:
     def close(self):
         self.basef.close()
         self.pilef.close()
+        self._pool.shutdown()
         if self.snpf:
             self.snpf.close()
 

@@ -148,6 +148,29 @@ def find_chrom_mapper(starts: np.ndarray, n_contigs: int, pos) -> np.ndarray:
     return result
 
 
+def _find_chrom_caller_one(fp: np.ndarray, nmax: int, start_try: int,
+                           p: int) -> int:
+    """The pecaller.c:1793-1816 find_chrom recursion for ONE position —
+    scalar transliteration used by the sorted fast path below."""
+    first, last, trie = 0, nmax, start_try
+    for _ in range(80):
+        if first == last:
+            return first
+        vfirst = int(fp[min(max(first, 0), nmax)])
+        if first >= trie:
+            return first + 1 if p > vfirst else first
+        if last <= trie:
+            return last
+        v = int(fp[min(max(trie, 0), nmax)])
+        if v < p:
+            first, trie = trie, (last + trie) // 2
+        elif v > p:
+            last, trie = trie, (trie + first) // 2
+        else:
+            return trie + 1
+    return -1
+
+
 def find_chrom_caller(frag_pos: np.ndarray, n_contigs: int, start_try: int,
                       pos) -> np.ndarray:
     """Exact vectorized emulation of pecaller.c:1793-1816 find_chrom.
@@ -157,6 +180,24 @@ def find_chrom_caller(frag_pos: np.ndarray, n_contigs: int, start_try: int,
     [frag_pos[c-1], frag_pos[c]) (boundary cases follow the exact recursion).
     """
     pos = np.atleast_1d(np.asarray(pos, dtype=np.int64))
+    if len(pos) >= 1024 and bool((pos[1:] >= pos[:-1]).all()):
+        # sorted fast path: the recursion's result as a function of p
+        # is constant between breakpoints {fp[c], fp[c]+1} (every
+        # comparison against every fp value is constant there), so one
+        # scalar evaluation per run replaces the vectorized search —
+        # whose ~40 full-size temporaries per iteration page-fault this
+        # VM at ~40 MB/s
+        fp = frag_pos.astype(np.int64)
+        nmax = n_contigs - 1
+        cand = np.unique(np.concatenate([fp, fp + 1]))
+        cuts = np.searchsorted(pos, cand, side="left")
+        bounds = np.unique(np.concatenate(
+            [[0], cuts[(cuts > 0) & (cuts < len(pos))], [len(pos)]]))
+        out = np.empty(len(pos), dtype=np.int64)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            out[a:b] = _find_chrom_caller_one(fp, nmax, start_try,
+                                              int(pos[a]))
+        return out
     fp = frag_pos.astype(np.int64)
     nmax = n_contigs - 1
     first = np.zeros_like(pos)

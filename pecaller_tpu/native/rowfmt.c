@@ -56,3 +56,37 @@ int64_t format_base_rows(const char *frag, int64_t frag_len,
     }
     return (int64_t)(p - out);
 }
+
+/* Format MANY fast runs in one call (the per-window fast rows are
+ * fragmented into thousands of runs by interleaved variant sites; one
+ * ctypes round-trip per run was the caller write phase's hot spot).
+ * frags: concatenated fragment names with frag_off offsets;
+ * run_start/run_end index rows of the gathered pos/refc/calls/active
+ * arrays; run_out_off (n_runs+1) receives each run's byte offset in
+ * out.  Returns total bytes, or -1 on overflow. */
+int64_t format_base_runs(const char *frags, const int64_t *frag_off,
+                         const int32_t *frag_of_run,
+                         const int64_t *run_start, const int64_t *run_end,
+                         int64_t n_runs, const int64_t *pos,
+                         const uint8_t *refc, const int8_t *calls,
+                         const uint8_t *active, int32_t indiv,
+                         char *out, int64_t out_cap,
+                         int64_t *run_out_off)
+{
+    int64_t total = 0;
+    for (int64_t r = 0; r < n_runs; r++) {
+        run_out_off[r] = total;
+        int32_t f = frag_of_run[r];
+        int64_t flen = frag_off[f + 1] - frag_off[f];
+        int64_t a = run_start[r], b = run_end[r];
+        int64_t wrote = format_base_rows(
+            frags + frag_off[f], flen, pos + a, refc + a,
+            calls + a * indiv, active + a * indiv, b - a, indiv,
+            out + total, out_cap - total);
+        if (wrote < 0)
+            return -1;
+        total += wrote;
+    }
+    run_out_off[n_runs] = total;
+    return total;
+}
