@@ -66,6 +66,20 @@ def _lib():
         ctypes.c_int32, ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
     lib.format_base_runs.restype = ctypes.c_int64
+    lib.format_slow_rows.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.format_slow_rows.restype = ctypes.c_int64
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -141,14 +155,8 @@ def format_base_rows(frag: bytes, pos, refc, calls, active) -> bytes:
     return buf.raw[:wrote]
 
 
-def format_runs(sdx, run_a, run_b, run_frag, gpos, gref, gcalls, gact,
-                indiv, cache):
-    """One-call bulk formatting of every fast run in a window
-    (format_base_runs in native/rowfmt.c).  ``cache`` holds the frag
-    name table and the grown hugepage output buffer across windows.
-    Returns (byte buffer, per-run offsets)."""
-    from ..utils.hugemem import hp_empty
-    lib = _lib()
+def frag_table(sdx, cache):
+    """Concatenated fragment-name table, cached on ``cache``."""
     ft = getattr(cache, "_frag_tab", None)
     if ft is None or cache._frag_sdx is not sdx:
         names = [nm.encode() for nm in sdx.names]
@@ -159,7 +167,18 @@ def format_runs(sdx, run_a, run_b, run_frag, gpos, gref, gcalls, gact,
                            max((len(n) for n in names), default=1))
         cache._frag_sdx = sdx
         ft = cache._frag_tab
-    cat, foff, maxfrag = ft
+    return ft
+
+
+def format_runs(sdx, run_a, run_b, run_frag, gpos, gref, gcalls, gact,
+                indiv, cache):
+    """One-call bulk formatting of every fast run in a window
+    (format_base_runs in native/rowfmt.c).  ``cache`` holds the frag
+    name table and the grown hugepage output buffer across windows.
+    Returns (byte buffer, per-run offsets)."""
+    from ..utils.hugemem import hp_empty
+    lib = _lib()
+    cat, foff, maxfrag = frag_table(sdx, cache)
     ra = np.asarray(run_a, np.int64)
     rb = np.asarray(run_b, np.int64)
     rf = np.asarray(run_frag, np.int32)
@@ -184,6 +203,47 @@ def format_runs(sdx, run_a, run_b, run_frag, gpos, gref, gcalls, gact,
     if wrote < 0:
         raise RuntimeError("format_base_runs buffer overflow")
     return buf, offs
+
+
+def format_slow(cat, foff, maxfrag, slow, indiv, use_ped):
+    """C formatting of a window's slow rows (format_slow_rows in
+    native/rowfmt.c).  Returns (base buffer u8, per-row base offsets,
+    snp bytes, piles bytes)."""
+    lib = _lib()
+    n = len(slow["pos"])
+    base_cap = n * (26 + maxfrag + 16 * indiv) + 16
+    snp_cap = n * (176 + maxfrag + 16 * indiv) + 16
+    pile_cap = n * (26 + maxfrag + 40 * indiv) + 16
+    base_out = np.empty(base_cap, np.uint8)
+    snp_out = np.empty(snp_cap, np.uint8)
+    pile_out = np.empty(pile_cap, np.uint8)
+    base_off = np.zeros(n + 1, np.int64)
+    sizes = np.zeros(2, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    cp = ctypes.POINTER(ctypes.c_char)
+    rc = lib.format_slow_rows(
+        cat, foff.ctypes.data_as(i64p),
+        slow["which"].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        slow["pos"].ctypes.data_as(i64p),
+        slow["refc"].ctypes.data_as(u8p),
+        slow["data"].ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        slow["calls"].ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        slow["probs"].ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        slow["types"].ctypes.data_as(u8p),
+        slow["denovo"].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        slow["acnt"].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        slow["active"].ctypes.data_as(u8p),
+        n, indiv, 1 if use_ped else 0,
+        base_out.ctypes.data_as(cp), base_cap,
+        base_off.ctypes.data_as(i64p),
+        snp_out.ctypes.data_as(cp), snp_cap,
+        pile_out.ctypes.data_as(cp), pile_cap,
+        sizes.ctypes.data_as(i64p))
+    if rc < 0:
+        raise RuntimeError("format_slow_rows buffer overflow")
+    return (base_out, base_off, snp_out[:sizes[0]].tobytes(),
+            pile_out[:sizes[1]].tobytes())
 
 
 def load_pecall(indiv, haploid, theta, denovo_rate, threshold, use_ped,

@@ -52,9 +52,11 @@ class CallerConfig:
     # no .snp rows
     dump_mode: bool = False
     # genome positions per streaming window (non-guide path); bounds RAM
-    # at ~window*indiv*12 bytes regardless of genome size.  Smaller
-    # windows overlap read-ahead/deflate with compute better
-    window_positions: int = 1 << 22
+    # at ~window*indiv*12 bytes regardless of genome size.  Small
+    # windows pipeline best: read-ahead inflate, the window compute,
+    # the background write task, and the deflate pool all overlap
+    # (measured optimum on the 2-core bench host)
+    window_positions: int = 1 << 20
     # device (TPU/XLA) site screen: resolves provably-boring sites on
     # device and routes only interesting sites into the exact native
     # float64 engine (see caller/device_screen.py for the parity proof)
@@ -691,7 +693,11 @@ def _process_window(ctx, w, st, all_pos, data, present, site_haploid,
                           & (codes != BAD))[0]
         un = cidx[codes[cidx] == UNRES]
         if len(un):
-            if screen is not None:
+            # the device phase-1 dispatch+fetch costs ~150 ms over the
+            # tunnel; for small UNRES sets the exact native engine
+            # resolves them faster than the roundtrip (identical bytes
+            # either way — the screen is conservative, native is exact)
+            if screen is not None and len(un) * indiv > (1 << 16):
                 with ph("phase1"):
                     c1 = screen.phase1(np.ascontiguousarray(data[un]),
                                        ref_u8[un], ctype[un])
@@ -842,6 +848,11 @@ class _SiteWriters:
         self.indiv = len(sample_names)
         ro = resume_offsets or {}
         self._pool = ThreadPoolExecutor(max_workers=3)
+        # ordered single-worker queue: the whole per-window write
+        # (C run formatting, slow rows, enqueue-to-deflate) runs here
+        # so the main thread moves on to the next window's merge/screen
+        self._wq = ThreadPoolExecutor(max_workers=1)
+        self._wq_last = None
         self.basef = _MemberGz(cfg.out_base + ".base.gz", cfg.gzip_level,
                                self._pool, ro.get("base"))
         self.pilef = _MemberGz(cfg.out_base + ".piles.gz", cfg.gzip_level,
@@ -851,27 +862,28 @@ class _SiteWriters:
                 open(cfg.out_base + ".snp", "w").close()
             self.snpf = None
         elif ro:
-            self.snpf = open(cfg.out_base + ".snp", "r+")
+            self.snpf = open(cfg.out_base + ".snp", "r+b")
             self.snpf.truncate(ro["snp"])
             self.snpf.seek(ro["snp"])
         else:
-            self.snpf = open(cfg.out_base + ".snp", "w")
+            self.snpf = open(cfg.out_base + ".snp", "wb")
         if ro:
             return                      # headers already on disk
         if self.snpf:
-            self.snpf.write("Fragment\tPosition\tReference\tAlleles"
-                            "\tAllele_Counts\tType")
+            self.snpf.write(b"Fragment\tPosition\tReference\tAlleles"
+                            b"\tAllele_Counts\tType")
         self.basef.write(b"Fragment\tPosition\tReference")
         self.pilef.write(b"Fragment\tPosition\tReference")
         for nm in sample_names:
             if self.snpf:
-                self.snpf.write("\t%s\t" % nm)
+                self.snpf.write(("\t%s\t" % nm).encode())
             self.basef.write(("\t%s\t" % nm).encode())
             self.pilef.write(("\t%s\t\t\t\t\t" % nm).encode())
 
     def sync_offsets(self):
         """Finalize the current gzip members; return raw byte offsets
         for a checkpoint record (checkpoint mode only)."""
+        self._wq_drain()
         offs = {"base": self.basef.member_end(),
                 "pile": self.pilef.member_end()}
         if self.snpf:
@@ -911,70 +923,94 @@ class _SiteWriters:
         change[1:] = (fast[1:] != fast[:-1]) | (wh[1:] != wh[:-1])
         bounds = np.nonzero(change)[0].tolist()
         bounds.append(len(idx))
-        # ALL fast runs format in ONE native call (variant sites
-        # fragment a window into thousands of runs; a ctypes round-trip
-        # per run was the write phase's hot spot): gather the window's
-        # callable rows once, hand the run list to format_base_runs,
-        # then interleave the returned byte spans with the slow rows
-        gpos = np.ascontiguousarray(contig_pos[idx], dtype=np.int64)
-        gref = np.ascontiguousarray(refc[idx])
-        gcalls = np.ascontiguousarray(calls[idx])
-        gact = np.ascontiguousarray(active[idx])
+        # gather the window's callable rows once — copies that detach
+        # everything the write needs from the reused window buffers, so
+        # the actual formatting runs as an ordered background task
+        # while the main thread merges the next window
+        if len(idx) == len(callable_m):
+            # all-callable window (the common case): contig_pos/refc
+            # are fresh per-window arrays, only the reused buffers
+            # need a straight memcpy (no 70 MB fancy gather)
+            gpos = np.ascontiguousarray(contig_pos, dtype=np.int64)
+            gref = refc
+            gcalls = calls.copy()
+            gact = active.copy()
+        else:
+            gpos = np.ascontiguousarray(contig_pos[idx], dtype=np.int64)
+            gref = np.ascontiguousarray(refc[idx])
+            gcalls = np.ascontiguousarray(calls[idx])
+            gact = np.ascontiguousarray(active[idx])
         run_a, run_b, run_frag = [], [], []
+        segs = []                       # (is_fast, a, b)
+        slow_loc = []                   # slow rows' positions in idx
         for a, b in zip(bounds[:-1], bounds[1:]):
             if fast[a]:
+                segs.append((True, a, b))
                 run_a.append(a)
                 run_b.append(b)
-                run_frag.append(wh[a])
+                run_frag.append(int(wh[a]))
+            else:
+                segs.append((False, a, b))
+                slow_loc.append(np.arange(a, b))
+        if slow_loc:
+            sl = np.concatenate(slow_loc)
+            sidx = idx[sl]
+            slow = dict(which=which[sidx].astype(np.int32),
+                        pos=np.ascontiguousarray(gpos[sl]),
+                        refc=np.ascontiguousarray(gref[sl]),
+                        data=np.ascontiguousarray(data[sidx]),
+                        calls=np.ascontiguousarray(gcalls[sl]),
+                        probs=np.ascontiguousarray(probs[sidx]),
+                        types=np.ascontiguousarray(types[sidx]),
+                        denovo=np.ascontiguousarray(denovo[sidx]),
+                        acnt=np.ascontiguousarray(acnt[sidx]),
+                        active=np.ascontiguousarray(gact[sl]))
+        else:
+            slow = None
+        self._submit_window(sdx, segs, run_a, run_b, run_frag, gpos,
+                            gref, gcalls, gact, slow)
+
+    def _submit_window(self, sdx, segs, run_a, run_b, run_frag, gpos,
+                       gref, gcalls, gact, slow):
+        if self._wq_last is not None:
+            # surface background write errors with backpressure (at
+            # most one window's write may be in flight)
+            self._wq_last.result()
+        self._wq_last = self._wq.submit(
+            self._write_window_task, sdx, segs, run_a, run_b, run_frag,
+            gpos, gref, gcalls, gact, slow)
+
+    def _write_window_task(self, sdx, segs, run_a, run_b, run_frag,
+                           gpos, gref, gcalls, gact, slow):
+        from .native import format_runs, format_slow, frag_table
         if run_a:
-            from .native import format_runs
             buf, offs = format_runs(sdx, run_a, run_b, run_frag, gpos,
                                     gref, gcalls, gact, self.indiv, self)
+        if slow is not None:
+            cat, foff, maxfrag = frag_table(sdx, self)
+            sbuf, soff, snp_bytes, pile_bytes = format_slow(
+                cat, foff, maxfrag, slow, self.indiv, self.cfg.use_ped)
         k = 0
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            if fast[a]:
+        sptr = 0
+        for is_fast, a, b in segs:
+            if is_fast:
                 self.basef.write(buf[offs[k]:offs[k + 1]].tobytes())
                 k += 1
             else:
-                self._write_slow_rows(sdx, which, contig_pos, refc, data,
-                                      calls, probs, types, denovo, acnt,
-                                      active, idx[a:b])
+                self.basef.write(
+                    sbuf[soff[sptr]:soff[sptr + b - a]].tobytes())
+                sptr += b - a
+        # .snp/.piles rows only exist for slow rows and live in their
+        # own streams, so one block write preserves site order
+        if slow is not None:
+            if self.snpf:
+                self.snpf.write(snp_bytes)
+            self.pilef.write(pile_bytes)
 
-    def _write_slow_rows(self, sdx, which, contig_pos, refc, data, calls,
-                         probs, types, denovo, acnt, active, sel):
-        g = lambda x: "%g" % x
-        cfg = self.cfg
-        for s in sel:
-            frag = sdx.names[which[s]]
-            pos = int(contig_pos[s])
-            ref = chr(refc[s])
-            parts = ["\n%s\t%d\t%c" % (frag, pos, ref)]
-            for i in range(self.indiv):
-                if active[s, i]:
-                    parts.append("\t%c\t%s" % (INT_TO_GEN[calls[s, i]],
-                                               g(probs[s, i])))
-                else:
-                    parts.append("\tN\t1")
-            self.basef.write("".join(parts).encode())
-            t = types[s]
-            if t != 0:
-                a_str = ",".join(ALLELE_CHAR[i] for i in range(6)
-                                 if acnt[s, i] > 0)
-                c_str = ",".join(str(acnt[s, i]) for i in range(6)
-                                 if acnt[s, i] > 0)
-                tname = SNP_TYPE[t]
-                if cfg.use_ped and denovo[s] > 0:
-                    tname = "DENOVO_" + tname
-                row = ["\n%s\t%d\t%c\t%s\t%s\t%s" % (frag, pos, ref,
-                                                     a_str, c_str, tname)]
-                prow = ["\n%s\t%d\t%c" % (frag, pos, ref)]
-                for i in range(self.indiv):
-                    row.append("\t%c\t%s" % (INT_TO_GEN[calls[s, i]],
-                                             g(probs[s, i])))
-                    for j in range(6):
-                        prow.append("\t%d" % data[s, i, j])
-                self.snpf.write("".join(row))
-                self.pilef.write("".join(prow).encode())
+    def _wq_drain(self):
+        if self._wq_last is not None:
+            self._wq_last.result()
+            self._wq_last = None
 
     def write_dump_window(self, frag_names, contig_pos, refc, data):
         min_depth_needed = 2
@@ -996,6 +1032,8 @@ class _SiteWriters:
             self.pilef.write("".join(prow).encode())
 
     def close(self):
+        self._wq_drain()
+        self._wq.shutdown()
         self.basef.close()
         self.pilef.close()
         self._pool.shutdown()
