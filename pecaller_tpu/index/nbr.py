@@ -80,7 +80,7 @@ def _mix2(x):
 
 
 def build_cuckoo(nkeys: np.ndarray, val_start: np.ndarray,
-                 max_rounds: int = 400):
+                 max_rounds: int = 400, min_tb: int | None = None):
     """Build the 2-table cuckoo rank table.  Returns (tagt, valt, tb)
     or None if placement fails (caller keeps the binary-search path).
 
@@ -90,7 +90,7 @@ def build_cuckoo(nkeys: np.ndarray, val_start: np.ndarray,
     converges in a few dozen geometric rounds.
     """
     nn = len(nkeys)
-    tb = 10
+    tb = 10 if min_tb is None else max(10, min_tb)
     while (1 << tb) * 10 < nn * 11:          # per-table load <= ~0.55/2
         tb += 1
     T = 1 << tb

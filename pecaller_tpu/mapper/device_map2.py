@@ -138,7 +138,15 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                       B: int, M: int, N: int, s_max: int,
                       seg_cap: int = 16, ins_cap: int = INS_CAP,
                       h_factor: float = 1.5, jit: bool = True,
-                      max_rlen: int | None = None):
+                      max_rlen: int | None = None,
+                      genome_axis: str | None = None,
+                      n_genome_shards: int = 1):
+    """genome_axis: mesh axis name for genome-sharded (octile) mapping —
+    the step then runs inside shard_map with per-shard index/genome
+    arrays in LOCAL coordinates, two extra trailing args (g_base,
+    owned_len), collectives for the chain ratchet and candidate
+    ownership, an all_gather'ed global decide, and owner-local
+    traceback/pileup (docs/SCALING.md design)."""
     import jax
     import jax.numpy as jnp
 
@@ -214,11 +222,13 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             trie = jnp.where(~done, (last + first) // 2, trie)
         return result
 
-    def windows(st_pad, ist, spots, lens_u):
+    def windows(st_pad, ist, spots, lens_u, c_shift=0):
         """Candidate locus -> clamped seq-coordinate window
-        (engine._windows, pemapper.c:1047-1081)."""
+        (engine._windows, pemapper.c:1047-1081).  c_shift: first contig
+        of a genome shard — local seq coords subtract its accumulated
+        +15/contig padding."""
         chrom = jnp.clip(find_chrom(st_pad, spots), 0, n_contigs - 1)
-        extra = 15 * chrom
+        extra = 15 * (chrom - c_shift)
         start = jnp.maximum(ist[chrom] + extra,
                             jnp.maximum(0, extra + spots - MISALIGN_SLOP))
         end = jnp.minimum(ist[chrom + 1] + extra,
@@ -432,7 +442,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                                   offsets, n_segs, min_match0, skip)
 
     def chain_dedup_select(pos, seg_tot, seg_over, heavy_over, offsets,
-                           n_segs, min_match0, skip):
+                           n_segs, min_match0, skip, shard=None):
         """Shared seed tail: co-linear chaining + min_match ratchet +
         diagonal dedup + CAP selection (pemapper.c:2188-2289 semantics).
 
@@ -440,7 +450,16 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         per probe, POS_PAD-padded; ``seg_tot`` (U, 2, S) candidate counts
         (0 for poisoned/invalid segments); ``seg_over`` (U, 2, S) probes
         whose candidate set exceeded seg_cap; ``heavy_over`` (U,) units
-        whose probing exceeded a batch-level budget."""
+        whose probing exceeded a batch-level budget.
+
+        ``shard`` (genome-sharded mode): (g_base, owned_len) local
+        scalars.  seg_tot must then already be the GLOBAL per-probe
+        count (psum over the genome axis); the chain votes stay local
+        (a candidate's chain mates all lie within its owner's covered
+        span), the min_match ratchet maxes over the mesh so every shard
+        ratchets on the globally best chain, and only OWNED candidates
+        (window start inside this shard's interval) survive selection —
+        the boundary-overlap copies are dropped by their non-owner."""
         seg_valid = (jnp.arange(S)[None, :] < n_segs[:, None])
         # --- chaining (exact port of seed_chain_core) -------------------
         max_off = max(2, IDEPTH - 4)
@@ -463,6 +482,11 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                               jnp.int32(1 << 30)).min(-1)     # (U, 2)
         wipe = min_spots > 200
         Tmax = T.max(-1)
+        if shard is not None:
+            # the globally best chain may live on another shard: the
+            # ratchet must see it or weaker local chains would survive
+            # that the reference (global view) suppresses
+            Tmax = jax.lax.pmax(Tmax, genome_axis)
         cur = min_match0.astype(jnp.int32)
         processed = jnp.zeros(pos.shape[:3], jnp.bool_)
         for o in range(2):
@@ -476,6 +500,14 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         accepted = (processed[..., None] &
                     (T == final_min[:, None, None, None]) & anchor_valid)
         accepted = accepted & ~wipe[:, 1][:, None, None, None]
+        if shard is not None:
+            # keep only candidates whose window START this shard owns
+            # (local index coords in [own_lo, own_hi)); shard 0 passes
+            # own_lo = -2^30 so the reference's genome-start clamp
+            # (diag < 0 -> spot 0) stays owned there
+            own_lo_s, own_hi_s = shard
+            owned = (diag >= own_lo_s) & (diag < own_hi_s)
+            accepted = accepted & owned
         if SSTAGE == 14:
             return _seed_dummy(accepted.astype(jnp.int32), diag)
 
@@ -522,8 +554,10 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                 .astype(jnp.int8)
 
         tot = jnp.minimum(n_keep, CAP).astype(jnp.int32)
+        n_keep_glob = n_keep if shard is None else \
+            jax.lax.psum(n_keep, genome_axis)
         fallback = (seg_over.any((1, 2)) | heavy_over |
-                    (n_keep > CAP)) & (skip == 0)
+                    (n_keep_glob > CAP)) & (skip == 0)
         return hits, hits_off, orient, tot, fallback
 
     def bitonic_sort_last(x):
@@ -691,14 +725,183 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                                   heavy_over | enum_fb, offsets, n_segs,
                                   min_match0, skip)
 
-    seed_probe = seed_quarter if quarter_mode else seed_nbr
+    def seed_octile(idx_args, xcode_f, xcode_r, offsets, n_segs,
+                    min_match0, skip, gctx):
+        """Octile (drop-one-of-8) seed probing — the mm10/hg38-scale
+        path (index/quarter.py build_octile_index).  8 projection
+        lookups of 28-bit subkeys through a content-proportional cuckoo
+        rank table enumerate the exact fill_mers Hamming<=1 candidate
+        set (pemapper.c:1969-2003); the dropped 2-base group's nibble
+        is the Hamming filter.  Runs genome-sharded when genome_axis is
+        set: positions are shard-local, ownership/ratchet collectives
+        happen in chain_dedup_select."""
+        from ..index.quarter import OCT_SUB_BITS, MARKER as Q_MARKER
+        tagt, valt, epos, eqw = idx_args
+        T1 = dnbr.t1
+        T2E = dnbr.rcap - T1
+        tb = dnbr.tb
+        TT = jnp.int32(1 << tb)
+        emax = max(epos.shape[0] - 1, 0)
+        wmax = max(eqw.shape[0] - 1, 0)
+        keys2 = make_keys2(xcode_f, xcode_r, offsets)
+        if SSTAGE == 11:
+            return _seed_dummy(keys2)
+
+        # ---- 8 projections -> cuckoo rank lookup ---------------------
+        sh_q = jnp.asarray([(7 - q) * 4 for q in range(8)], jnp.uint32)
+        k8 = keys2[..., None]                          # (U, 2, S, 1)
+        qn_p = (k8 >> sh_q) & jnp.uint32(0xF)          # (U, 2, S, 8)
+        low_mask = (jnp.uint32(1) << sh_q) - jnp.uint32(1)
+        sub = (((k8 >> sh_q) >> jnp.uint32(4)) << sh_q) | (k8 & low_mask)
+        key31 = ((jnp.arange(8, dtype=jnp.uint32)
+                  << jnp.uint32(OCT_SUB_BITS)) | sub)  # (U, 2, S, 8)
+
+        def mix1(x):
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x85EBCA6B)
+            x = x ^ (x >> 13)
+            x = x * jnp.uint32(0xC2B2AE35)
+            return x ^ (x >> 16)
+
+        def mix2(x):
+            x = x ^ (x >> 17)
+            x = x * jnp.uint32(0xED5AD4BB)
+            x = x ^ (x >> 11)
+            x = x * jnp.uint32(0xAC4C1B51)
+            x = x ^ (x >> 15)
+            x = x * jnp.uint32(0x31848BAB)
+            return x ^ (x >> 14)
+
+        m1 = mix1(key31)
+        m2 = mix2(key31)
+        h1 = (m1 & jnp.uint32(TT - 1)).astype(jnp.int32)
+        h2 = TT + (m2 & jnp.uint32(TT - 1)).astype(jnp.int32)
+        e1 = tagt[h1]
+        e2 = tagt[h2]
+        tfm = jnp.uint32((1 << 22) - 1)
+        hit1 = ((e1 >> 31) != 0) & ((e1 & tfm) == (m1 >> tb))
+        hit2 = ((e2 >> 31) != 0) & ((e2 & tfm) == (m2 >> tb))
+        slot = jnp.where(hit1, h1, h2)
+        tag = jnp.where(hit1, e1, e2)
+        found = hit1 | hit2
+        start = jnp.where(found, valt[slot].astype(jnp.int32), 0)
+        cnt = jnp.where(found,
+                        ((tag >> 22) & jnp.uint32(0xFF)).astype(
+                            jnp.int32), 0)             # (U, 2, S, 8)
+        if SSTAGE == 12:
+            return _seed_dummy(start, cnt)
+
+        def ham_filter8(pe_raw, qn_e, qn_probe, qsel, valid):
+            """2-base-group Hamming filter + marker poisoning."""
+            x = (qn_e ^ qn_probe) & jnp.uint32(0xF)
+            f = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x5)
+            nm = ((f & 1) + ((f >> jnp.uint32(2)) & 1)).astype(jnp.int32)
+            is_mark = valid & (pe_raw >= Q_MARKER)
+            ok = (nm == 1) | ((nm == 0) & (qsel == 0))
+            cand = valid & ~is_mark & ok
+            pos = jnp.where(cand, pe_raw, POS_PAD)
+            poison = is_mark & (nm <= 1)
+            return pos, poison
+
+        # ---- inline tier ---------------------------------------------
+        jt1 = jnp.arange(T1, dtype=jnp.int32)
+        g1 = start[..., None] + jt1                # (U, 2, S, 8, T1)
+        v1 = jt1 < cnt[..., None]
+        pe1 = epos[jnp.clip(g1, 0, emax)]
+        w0i = start >> 2
+        w0 = eqw[jnp.clip(w0i, 0, wmax)]
+        w1 = eqw[jnp.clip(w0i + 1, 0, wmax)]
+        b1 = (start & 3)[..., None] + jt1
+        s0 = (jnp.clip(b1, 0, 3) * 8).astype(jnp.uint32)
+        s1 = (jnp.clip(b1 - 4, 0, 3) * 8).astype(jnp.uint32)
+        qn1 = jnp.where(b1 < 4, (w0[..., None] >> s0) & jnp.uint32(0xFF),
+                        (w1[..., None] >> s1) & jnp.uint32(0xFF))
+        qsel8 = jnp.arange(8, dtype=jnp.int32)[None, None, None, :, None]
+        pos1, poison1 = ham_filter8(pe1, qn1, qn_p[..., None], qsel8, v1)
+
+        # ---- spill tier ----------------------------------------------
+        heavy = (cnt > T1).reshape(-1)
+        NF8 = U * 2 * S * 8
+        HV = int(os.environ.get("PECALLER_Q8_HV", "0")) \
+            or max(2048, (NF8 // 4 + 255) & ~255)
+        hc = jnp.cumsum(heavy.astype(jnp.int32))
+        n_heavy = hc[-1]
+        heavy_over = (hc.reshape(U, 2 * S * 8) > HV).any(axis=1)
+        steps_f = max(1, int(np.ceil(np.log2(NF8 + 1))))
+        hsrc = jnp.clip(
+            vsearch_ge(hc, jnp.arange(1, HV + 1, dtype=jnp.int32),
+                       steps_f), 0, NF8 - 1)
+        h_ok = jnp.arange(HV, dtype=jnp.int32) < n_heavy
+        hstart = start.reshape(-1)[hsrc]
+        hcnt = cnt.reshape(-1)[hsrc]
+        hqn_p = qn_p.reshape(-1)[hsrc]
+        hqsel = (hsrc & 7).astype(jnp.int32)
+        jt2 = jnp.arange(T2E, dtype=jnp.int32)
+        v2_ = h_ok[:, None] & ((T1 + jt2) < hcnt[:, None])
+        NW2 = (T1 % 4 + T2E + 3) // 4 + 1
+        g2 = hstart[:, None] + T1 + jt2
+        pe2 = epos[jnp.clip(g2, 0, emax)]
+        w2i = (hstart + T1) >> 2
+        ws = [eqw[jnp.clip(w2i + j, 0, wmax)] for j in range(NW2)]
+        b2 = ((hstart + T1) & 3)[:, None] + jt2
+        wsel = b2 >> 2
+        bsh = ((b2 & 3) * 8).astype(jnp.uint32)
+        qn2 = jnp.zeros(pe2.shape, jnp.uint32)
+        for j, w in enumerate(ws):
+            qn2 = jnp.where(wsel == j,
+                            (w[:, None] >> bsh) & jnp.uint32(0xFF), qn2)
+        pos2, poison2 = ham_filter8(pe2, qn2, hqn_p[:, None],
+                                    hqsel[:, None], v2_)
+        tgt = jnp.where(h_ok, hsrc, NF8)
+        tail = jnp.full((NF8 + 1, T2E), POS_PAD, jnp.int32).at[tgt].set(
+            pos2, mode="drop")[:NF8].reshape(U, 2, S, 8, T2E)
+        poison_sp = jnp.zeros(NF8 + 1, bool).at[tgt].set(
+            poison2.any(axis=1), mode="drop")[:NF8].reshape(U, 2, S, 8)
+
+        poison_q = poison1.any(-1) | poison_sp         # (U, 2, S, 8)
+        poison_probe = poison_q.any(-1)                # (U, 2, S)
+        seg_valid = (jnp.arange(S)[None, :] < n_segs[:, None])
+        seg_in = seg_valid[:, None, :]
+        enum_probe = (cnt > (T1 + T2E)).any(-1)
+        enum_fb = (enum_probe & ~poison_probe & seg_in).any((1, 2))
+
+        # ---- merge + sort + select -----------------------------------
+        allpos = jnp.concatenate([pos1, tail], axis=-1)
+        W = 8 * (T1 + T2E)
+        allpos = allpos.reshape(U, 2, S, W)
+        live = seg_in & ~poison_probe
+        allpos = jnp.where(live[..., None], allpos, POS_PAD)
+        cnt_cand = (allpos < POS_PAD).sum(-1)          # (U, 2, S)
+        shard = None
+        seg_tot = cnt_cand
+        if genome_axis is not None:
+            # global per-probe candidate count: owned anchors only
+            # (overlap copies would double-count), summed over shards
+            own_lo, own_hi = gctx[2], gctx[3]
+            cnt_owned = ((allpos >= own_lo)
+                         & (allpos < own_hi)).sum(-1)
+            seg_tot = jax.lax.psum(cnt_owned, genome_axis)
+            shard = (own_lo, own_hi)
+        Wp = 1 << (W - 1).bit_length()
+        if Wp > W:
+            allpos = jnp.pad(allpos, ((0, 0),) * 3 + ((0, Wp - W),),
+                             constant_values=POS_PAD)
+        if SSTAGE == 13:
+            return _seed_dummy(allpos, cnt_cand)
+        pos = bitonic_sort_last(allpos)[..., :seg_cap]
+        seg_over = cnt_cand > seg_cap
+        return chain_dedup_select(pos, seg_tot, seg_over,
+                                  heavy_over | enum_fb, offsets, n_segs,
+                                  min_match0, skip, shard=shard)
+
+    octile_mode = dnbr.mode == "octile"
+    seed_probe = seed_octile if octile_mode else (
+        seed_quarter if quarter_mode else seed_nbr)
 
     # ---- decision layer (verbatim semantics from device_pipeline) -------
 
-    def decide_single(smax, tot, thr):
-        idx = jnp.arange(CAP, dtype=jnp.int32)[None, :]
-        innh = idx < tot[:, None]
-        elig = innh & (smax >= thr[:, None])
+    def decide_single(smax, valid, thr):
+        elig = valid & (smax >= thr[:, None])
         top = jnp.max(jnp.where(elig, smax, NEGBIG), axis=1)
         is_top = elig & (smax == top[:, None])
         cnt = is_top.sum(1)
@@ -713,18 +916,24 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         return jnp.argmax(masked_bool, axis=1).astype(jnp.int32)
 
     def decide_pair(e1, e2, thr1, thr2):
-        smax1, pos1, tot1 = e1["smax"], e1["pos"], e1["tot"]
-        smax2, pos2, tot2 = e2["smax"], e2["pos"], e2["tot"]
+        smax1, pos1, v1 = e1["smax"], e1["pos"], e1["valid"]
+        smax2, pos2, v2 = e2["smax"], e2["pos"], e2["valid"]
         or1, or2 = e1["orient"], e2["orient"]
-        idx = jnp.arange(CAP, dtype=jnp.int32)[None, :]
-        v1 = idx < tot1[:, None]
-        v2 = idx < tot2[:, None]
+        K = smax1.shape[1]
+        idx = jnp.arange(K, dtype=jnp.int32)[None, :]
         el1 = v1 & (smax1 >= thr1[:, None])
         el2 = v2 & (smax2 >= thr2[:, None])
 
-        dist = jnp.abs(pos1[:, :, None] - pos2[:, None, :])
+        # uint32 modular |distance|: exact for any genome < 2^32-500
+        # (genome-sharded global coords may exceed int31; a wrapped
+        # "near" value would need true distance >= 2^32-max_dist, which
+        # no genome reaches)
+        du = (pos1.astype(jnp.uint32)[:, :, None]
+              - pos2.astype(jnp.uint32)[:, None, :])
+        dist = jnp.minimum(du, jnp.uint32(0) - du)
         pm = (el1[:, :, None] & el2[:, None, :] &
-              (dist >= min_dist) & (dist <= max_dist) &
+              (dist >= jnp.uint32(min_dist))
+              & (dist <= jnp.uint32(max_dist)) &
               (or1[:, :, None] != or2[:, None, :]))
         ssum = smax1[:, :, None] + smax2[:, None, :]
         tot_best = jnp.max(jnp.where(pm, ssum, NEGBIG), axis=(1, 2))
@@ -732,12 +941,12 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         perfect = maxm.sum((1, 2))
         flat = maxm.reshape(B, -1)
         first_lin = jnp.argmax(flat, axis=1).astype(jnp.int32)
-        sm1 = first_lin // CAP
-        sm2 = first_lin % CAP
-        lin = jnp.arange(CAP * CAP, dtype=jnp.int32).reshape(CAP, CAP)
+        sm1 = first_lin // K
+        sm2 = first_lin % K
+        lin = jnp.arange(K * K, dtype=jnp.int32).reshape(K, K)
         share = (maxm & (lin[None] != first_lin[:, None, None]) &
-                 ((jnp.arange(CAP)[None, :, None] == sm1[:, None, None]) |
-                  (jnp.arange(CAP)[None, None, :] == sm2[:, None, None])))
+                 ((jnp.arange(K)[None, :, None] == sm1[:, None, None]) |
+                  (jnp.arange(K)[None, None, :] == sm2[:, None, None])))
         slip = 1 + share.sum((1, 2))
 
         s1m = jnp.where(v1, smax1, NEGBIG)
@@ -772,10 +981,10 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         use1 = jnp.where(has_perf, use_both, u1).astype(jnp.int32)
         use2 = jnp.where(has_perf, use_both, u2).astype(jnp.int32)
 
-        c_s1, b_s1, u_s1 = decide_single(smax1, tot1, thr1)
-        c_s2, b_s2, u_s2 = decide_single(smax2, tot2, thr2)
-        n1z = tot1 == 0
-        n2z = tot2 == 0
+        c_s1, b_s1, u_s1 = decide_single(smax1, v1, thr1)
+        c_s2, b_s2, u_s2 = decide_single(smax2, v2, thr2)
+        n1z = ~v1.any(1)
+        n2z = ~v2.any(1)
         both = (~n1z) & (~n2z)
         only1 = (~n1z) & n2z
         only2 = n1z & (~n2z)
@@ -872,8 +1081,18 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         [:B] = [m1, m2, code, orb1, orb2, fb]; rows [B:] = insertion
         records [unit, gpos, jstart, len, n_ins-tail-marker])."""
         idx_args = rest[:n_idx]
-        (gcode, gmask, ist, st_pad, seqs_u, lens, offsets, n_segs,
-         mm0, thr, fb_pad) = rest[n_idx:]
+        if octile_mode:
+            # gctx (5,) i32 per shard: [base_idx, base_seq, own_lo,
+            # own_hi, c_lo] — local-coordinate context (see
+            # parallel/mesh.py sharded_genome_step)
+            (gcode, gmask, ist, st_pad, seqs_u, lens, offsets, n_segs,
+             mm0, thr, fb_pad, gctx) = rest[n_idx:]
+            c_shift = gctx[4]
+        else:
+            (gcode, gmask, ist, st_pad, seqs_u, lens, offsets, n_segs,
+             mm0, thr, fb_pad) = rest[n_idx:]
+            gctx = None
+            c_shift = 0
         if "prep" in PROF_SKIP:
             xf = (seqs_u & 3).astype(jnp.uint8)
             xr = xf[:, ::-1]
@@ -884,8 +1103,12 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         x4f_w = pack4_dev(xf)
         x4r_w = pack4_dev(xr)
 
-        hits, hits_off, orient, tot, fb = seed_probe(
-            idx_args, xf, xr, offsets, n_segs, mm0, skip)
+        if octile_mode:
+            hits, hits_off, orient, tot, fb = seed_probe(
+                idx_args, xf, xr, offsets, n_segs, mm0, skip, gctx)
+        else:
+            hits, hits_off, orient, tot, fb = seed_probe(
+                idx_args, xf, xr, offsets, n_segs, mm0, skip)
         fb = pairize(fb | fb_pad | exotic)
         tot = jnp.where(fb, 0, tot)
         # units whose hits spill past H_CAP fall back (cap semantics)
@@ -911,7 +1134,8 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         spots_s = jnp.maximum(
             0, hits[rid_c, hid_s] - hits_off[rid_c, hid_s])
         lens_s = lens[rid_c].astype(jnp.int32)
-        start_s, blen_s = windows(st_pad, ist, spots_s, lens_s)
+        start_s, blen_s = windows(st_pad, ist, spots_s, lens_s,
+                                  c_shift=c_shift)
         blen_m = jnp.where(slot_ok, blen_s, 0).astype(jnp.int32)
         if "windows" in PROF_SKIP:
             refs_x = jnp.zeros((H_CAP, N), jnp.uint8)
@@ -952,38 +1176,78 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         smax = jnp.where(fb[:, None], PAD_SCORE, smax)
 
         # --- decide -------------------------------------------------------
+        if genome_axis is not None:
+            # genome-sharded: a unit's candidates are spread over the
+            # genome axis.  Globalize the fallback verdict, gather every
+            # shard's top list (global coords), and decide identically
+            # on all shards; only the winner's OWNER shards traceback.
+            my_g = jax.lax.axis_index(genome_axis).astype(jnp.int32)
+            fb = jax.lax.pmax(fb.astype(jnp.int32), genome_axis) > 0
+            tot = jnp.where(fb, 0, tot)
+            smax = jnp.where(fb[:, None], PAD_SCORE, smax)
+            validh_c = (jnp.arange(CAP, dtype=jnp.int32)[None, :]
+                        < tot[:, None])
+            # global index coords in uint32 (wraps only past 4.29 Gb)
+            pos_glob = jnp.where(
+                validh_c,
+                pos_tab.astype(jnp.uint32) + gctx[0].astype(jnp.uint32),
+                jnp.uint32(0))
+            ag = lambda x: jax.lax.all_gather(    # noqa: E731
+                x, genome_axis, axis=1, tiled=True)
+            smax_d = ag(jnp.where(validh_c, smax, PAD_SCORE))
+            pos_d = ag(pos_glob)
+            orient_d = ag(jnp.where(validh_c, orient.astype(jnp.int8),
+                                    jnp.int8(0)))
+            valid_d = ag(validh_c)
+        else:
+            my_g = None
+            validh_c = (jnp.arange(CAP, dtype=jnp.int32)[None, :]
+                        < tot[:, None])
+            smax_d, pos_d, orient_d, valid_d = (smax, pos_tab, orient,
+                                                validh_c)
         if "decide" in PROF_SKIP:
             code_out = jnp.zeros(B, jnp.int32)
             best_u = jnp.zeros(U, jnp.int32)
             use_u = (tot > 0).astype(jnp.int32)
         elif paired:
-            e1 = dict(smax=smax[:B], pos=pos_tab[:B], tot=tot[:B],
-                      orient=orient[:B])
-            e2 = dict(smax=smax[B:], pos=pos_tab[B:], tot=tot[B:],
-                      orient=orient[B:])
+            e1 = dict(smax=smax_d[:B], pos=pos_d[:B], valid=valid_d[:B],
+                      orient=orient_d[:B])
+            e2 = dict(smax=smax_d[B:], pos=pos_d[B:], valid=valid_d[B:],
+                      orient=orient_d[B:])
             code, b1, b2, u1, u2 = decide_pair(e1, e2, thr[:B], thr[B:])
             best_u = jnp.concatenate([b1, b2])
             use_u = jnp.concatenate([u1, u2])
             code_out = code
         else:
-            code_out, b1, u1 = decide_single(smax, tot, thr)
+            code_out, b1, u1 = decide_single(smax_d, valid_d, thr)
             best_u = b1
             use_u = u1
 
         # per-unit winner info (gather-only)
-        slot_b = jnp.take_along_axis(slot_tab, best_u[:, None],
+        if genome_axis is not None:
+            own_u = (best_u // CAP) == my_g
+            best_loc = jnp.where(own_u, best_u % CAP, 0)
+            use_loc = jnp.where(own_u, use_u, 0)
+        else:
+            best_loc = best_u
+            use_loc = use_u
+        slot_b = jnp.take_along_axis(slot_tab, best_loc[:, None],
                                      axis=1)[:, 0]
         slot_b = jnp.clip(slot_b, 0, H_CAP - 1)
-        m_u = jnp.where(use_u == 1,
+        m_u = jnp.where(use_loc == 1,
                         start_s[slot_b] + bi[slot_b] + 1, 0)
-        orb_u = jnp.take_along_axis(orient, best_u[:, None],
+        if genome_axis is not None:
+            # .mfile positions are global SEQ coords (+15/contig pads)
+            m_u = jax.lax.psum(jnp.where(use_loc == 1, m_u + gctx[1], 0),
+                               genome_axis)
+        orb_u = jnp.take_along_axis(orient_d, best_u[:, None],
                                     axis=1)[:, 0].astype(jnp.int32)
 
         if STAGE == 4:
             return _stage_out(dev_counts, code_out, best_u, use_u, m_u)
 
-        # --- winner compaction + traceback --------------------------------
-        wmask = use_u == 1
+        # --- winner compaction + traceback (owner-local when sharded) -----
+        wmask = use_loc == 1
         wc = jnp.cumsum(wmask.astype(jnp.int32))
         n_win = wc[-1]
         wsrc = vsearch_ge(wc, jnp.arange(1, U + 1, dtype=jnp.int32),
@@ -1038,6 +1302,12 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         iu = isrc // R_ROWS
         ir = isrc % R_ROWS
         ipos = start_w[iu] + ir
+        if genome_axis is not None:
+            # insertion records carry global SEQ coords; the local-row
+            # pileup scatter below stays shard-local
+            ipos_rec = ipos + gctx[1]
+        else:
+            ipos_rec = ipos
         dev_counts = dev_counts.at[
             jnp.where(i_ok, ipos * 6 + 5, 0)].add(
             i_ok.astype(jnp.uint32), mode="drop")
@@ -1048,7 +1318,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
 
         rec = jnp.stack([
             _pad1(jnp.where(i_ok, uw[iu], -1), 0).at[ins_cap].set(n_ins),
-            _pad1(jnp.where(i_ok, ipos, -1), 0),
+            _pad1(jnp.where(i_ok, ipos_rec, -1), 0),
             _pad1(jnp.where(i_ok,
                             ins_j.reshape(-1)[isrc].astype(jnp.int32),
                             -1), 0),
