@@ -312,7 +312,8 @@ class CallerScreen:
 
     MIN_CHUNK = 1 << 10
 
-    def __init__(self, indiv: int, haploid: bool, chunk: int | None = None):
+    def __init__(self, indiv: int, haploid: bool, chunk: int | None = None,
+                 mesh=None):
         import jax
         from ..utils import enable_compilation_cache
         enable_compilation_cache()
@@ -325,11 +326,30 @@ class CallerScreen:
             chunk = max(1 << 13, min(1 << 18, c))
         self.chunk = chunk
         ta, tota, a1 = _tables(haploid)
-        self._fn = jax.jit(functools.partial(
-            _screen_chunk, haploid=haploid, ta=ta, tota=tota, a1=a1))
-        self._fn0 = jax.jit(functools.partial(
+        f1 = functools.partial(
+            _screen_chunk, haploid=haploid, ta=ta, tota=tota, a1=a1)
+        f0 = functools.partial(
             _phase0_chunk, haploid=haploid, indiv=indiv,
-            ptab=_phase0_tables(haploid)))
+            ptab=_phase0_tables(haploid))
+        if mesh is not None:
+            # sites shard over every mesh device (the screen is
+            # embarrassingly parallel per site); chunk buckets are
+            # powers of two >= 2^10 so they divide any 2^k-device mesh
+            from ..parallel.mesh import shard_map
+            from jax.sharding import PartitionSpec as P
+            axes = tuple(mesh.axis_names)
+
+            def wrap(f):
+                sm = shard_map(
+                    f, mesh=mesh,
+                    in_specs=(P(axes, None, None), P(axes), P(axes)),
+                    out_specs=P(axes), check_vma=False)
+                return jax.jit(sm)
+            self._fn = wrap(f1)
+            self._fn0 = wrap(f0)
+        else:
+            self._fn = jax.jit(f1)
+            self._fn0 = jax.jit(f0)
 
     def _bucket(self, m: int) -> int:
         b = self.MIN_CHUNK

@@ -89,6 +89,19 @@ class CallerConfig:
     # a rerun resumes at the last completed window (the reference's
     # restart granularity is a whole SGE job, SURVEY 5.3/5.4)
     checkpoint: bool = False
+    # [site_lo, site_hi) genome-position bounds: the unit of multi-
+    # process calling (parallel/distributed.run_caller_distributed) —
+    # each process calls a contiguous span; part artifacts concatenate
+    # byte-exactly (gzip members / headerless parts)
+    site_range: tuple | None = None
+    # False for distributed parts > 0 so artifact concatenation yields
+    # the single-process byte stream
+    write_header: bool = True
+    # device mesh for the screen's phase-0/phase-1 programs: sites
+    # shard over every device (the caller's in-core scale-out; the
+    # reference's equivalent is one pecaller process per cohort via
+    # qsub, call_directory.pl:52)
+    mesh: object = None
 
 
 def _chrom_type(name: str) -> int:
@@ -381,7 +394,7 @@ def run_caller(cfg: CallerConfig):
     if cfg.device_screen and not cfg.dump_mode:
         try:
             from .device_screen import CallerScreen
-            screen = CallerScreen(indiv, cfg.haploid)
+            screen = CallerScreen(indiv, cfg.haploid, mesh=cfg.mesh)
         except Exception:           # no usable jax backend: exact path
             screen = None
 
@@ -433,10 +446,16 @@ def run_caller(cfg: CallerConfig):
         def _submit(bound):
             return [pool.submit(s.take_below, bound) for s in streams]
 
+        site_hi = None
+        if cfg.site_range is not None:
+            # multi-process span: start at site_lo, stop at site_hi
+            lo = max(lo, int(cfg.site_range[0]))
+            site_hi = int(cfg.site_range[1])
         if lo:                          # resume: discard completed span
             for f in _submit(lo):
                 f.result()
-        futs = _submit(lo + window)
+        futs = _submit(min(lo + window, site_hi)
+                       if site_hi is not None else lo + window)
         # reusable window buffers (hugepage-backed: this VM faults
         # fresh 4 KiB pages at ~40 MB/s, so per-window allocation of
         # the multi-hundred-MB merge target would dominate); cached
@@ -446,13 +465,18 @@ def run_caller(cfg: CallerConfig):
         ctx["bufs"] = bufs
         i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        while True:
+        while site_hi is None or lo < site_hi:
             hi = lo + window
+            if site_hi is not None:
+                hi = min(hi, site_hi)
             with ph("read"):
                 chunks = [f.result() for f in futs]
             exhausted = all(s.exhausted for s in streams)
             if not (exhausted and all(len(c[0]) == 0 for c in chunks)):
-                futs = _submit(hi + window)
+                nxt = hi + window
+                if site_hi is not None:
+                    nxt = min(nxt, site_hi)
+                futs = _submit(nxt)
             if all(len(c[0]) == 0 for c in chunks):
                 if exhausted:
                     break
@@ -527,9 +551,16 @@ def run_caller(cfg: CallerConfig):
                         count_absent=True)
 
     w.close()
-    with ph("dist"):
-        _write_dist(cfg, sample_names, st.tot_bases, st.counts_hist,
-                    st.mean_done(), st.base_count, st.max_cov)
+    if cfg.site_range is None:
+        with ph("dist"):
+            _write_dist(cfg, sample_names, st.tot_bases, st.counts_hist,
+                        st.mean_done(), st.base_count, st.max_cov)
+    else:
+        # distributed part: persist raw accumulators; the merge step
+        # reduces them and writes the final .dist
+        np.savez(cfg.out_base + ".dstat.npz", tot_bases=st.tot_bases,
+                 counts_hist=st.counts_hist, mean_sum=st.mean_sum,
+                 base_count=st.base_count, max_cov=st.max_cov)
     if cfg.checkpoint and os.path.exists(ck_path):
         os.remove(ck_path)
     ph.report()
@@ -867,8 +898,8 @@ class _SiteWriters:
             self.snpf.seek(ro["snp"])
         else:
             self.snpf = open(cfg.out_base + ".snp", "wb")
-        if ro:
-            return                      # headers already on disk
+        if ro or not cfg.write_header:
+            return      # headers already on disk / headerless part
         if self.snpf:
             self.snpf.write(b"Fragment\tPosition\tReference\tAlleles"
                             b"\tAllele_Counts\tType")

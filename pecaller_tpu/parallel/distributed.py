@@ -68,6 +68,101 @@ def partition_intervals(bed_rows, process_id: int, num_processes: int):
     return out
 
 
+def partition_genome(genome_size: int, process_id: int,
+                     num_processes: int, align: int = 1 << 20):
+    """Contiguous genome-position span per process, window-aligned so
+    part boundaries coincide with caller window boundaries."""
+    per = (genome_size + num_processes - 1) // num_processes
+    per = ((per + align - 1) // align) * align
+    lo = min(process_id * per, genome_size)
+    hi = min(lo + per, genome_size)
+    return lo, hi
+
+
+def run_caller_distributed(cfg, coordinator=None, num_processes=None,
+                           process_id=None):
+    """Call this process's contiguous genome span (non-guide) or guide-
+    interval block; parts merge byte-exactly with merge_caller_parts
+    (the reference's calling scale-out is one pecaller process per
+    cohort via qsub, call_directory.pl:52 — here the site axis itself
+    is partitioned)."""
+    from dataclasses import replace
+    from ..caller import run_caller
+    from ..formats.sdx import read_sdx
+    pid, n = init_distributed(coordinator, num_processes, process_id)
+    if n == 1:
+        return run_caller(cfg)
+    if cfg.guide_path is not None:
+        rows = []
+        with open(cfg.guide_path) as f:
+            for line in f:
+                tok = line.split()
+                if len(tok) >= 3:
+                    rows.append((tok[0], int(tok[1]), int(tok[2])))
+        mine = partition_intervals(rows, pid, n)
+        gp = cfg.out_base + f".part{pid}.bed"
+        with open(gp, "w") as f:
+            for c, s, e in mine:
+                f.write(f"{c}\t{s}\t{e}\n")
+        local = replace(cfg, guide_path=gp,
+                        out_base=cfg.out_base + f".part{pid}",
+                        write_header=(pid == 0),
+                        site_range=(0, 1 << 62))
+        return run_caller(local)
+    sdx = read_sdx(cfg.sdx_path)
+    lo, hi = partition_genome(sdx.genome_size, pid, n,
+                              align=cfg.window_positions)
+    local = replace(cfg, out_base=cfg.out_base + f".part{pid}",
+                    site_range=(lo, hi), write_header=(pid == 0),
+                    checkpoint=False)
+    return run_caller(local)
+
+
+def merge_caller_parts(cfg, num_processes: int) -> None:
+    """Concatenate part artifacts into the single-process byte stream:
+    multi-member gzip parts concatenate raw (decompressed concat ==
+    stream concat), .snp parts are headerless text after part 0, and
+    the .dist accumulators reduce exactly."""
+    import numpy as np
+    from ..caller.runner import _write_dist, _discover_pileups
+    parts = [cfg.out_base + f".part{p}" for p in range(num_processes)]
+    for ext in (".base.gz", ".piles.gz", ".snp"):
+        with open(cfg.out_base + ext, "wb") as out:
+            for p in parts:
+                if not os.path.exists(p + ext):
+                    continue
+                with open(p + ext, "rb") as f:
+                    while True:
+                        b = f.read(1 << 22)
+                        if not b:
+                            break
+                        out.write(b)
+    tot_bases = 0
+    hist = mean_sum = base_count = max_cov = None
+    for p in parts:
+        sp = p + ".dstat.npz"
+        if not os.path.exists(sp):
+            continue
+        z = np.load(sp)
+        tot_bases += int(z["tot_bases"])
+        if hist is None:
+            hist = z["counts_hist"].copy()
+            mean_sum = z["mean_sum"].astype(np.float64)
+            base_count = z["base_count"].copy()
+            max_cov = z["max_cov"].copy()
+        else:
+            hist += z["counts_hist"]
+            mean_sum += z["mean_sum"]
+            base_count += z["base_count"]
+            max_cov = np.maximum(max_cov, z["max_cov"])
+    if hist is not None:
+        names, _ = _discover_pileups(cfg.directory, cfg.pileup_ext)
+        mean = np.where(base_count > 0,
+                        mean_sum / np.maximum(base_count, 1), mean_sum)
+        _write_dist(cfg, names, tot_bases, hist, mean, base_count,
+                    max_cov)
+
+
 def run_mapper_distributed(cfg, coordinator=None, num_processes=None,
                            process_id=None):
     """Map this process's share of the fastq list; artifacts are written
