@@ -529,26 +529,14 @@ def run_caller(cfg: CallerConfig):
                     os.replace(tmp, ck_path)
             lo = hi
     else:
-        streams = [_Stream(p) for p in files]
-        all_pos, _ = _guide_sites(cfg.guide_path, sdx, frag_pos, streams)
-        data = np.zeros((len(all_pos), indiv, 6), dtype=np.uint16)
-        present = np.zeros((len(all_pos), indiv), dtype=bool)
-        for i, sstream in enumerate(streams):
-            if len(sstream.pos) == 0:
-                continue
-            idx = np.searchsorted(all_pos, sstream.pos)
-            ok = idx < len(all_pos)
-            ok[ok] = all_pos[idx[ok]] == sstream.pos[ok]
-            data[idx[ok], i] = sstream.counts[ok]
-            present[idx[ok], i] = True
-        which = find_chrom_caller(frag_pos, sdx.n_contigs,
-                                  max((sdx.n_contigs - 1) // 2, 0), all_pos)
-        which = np.clip(which, 0, sdx.n_contigs - 1)
-        ctype0 = chrom_types[which]
-        hap = np.where((ctype0 == CHRY) | (ctype0 == CHRMT), 1,
-                       1 if cfg.haploid else 0).astype(np.uint8)
-        _process_window(ctx, w, st, all_pos, data, present, hap,
-                        count_absent=True)
+        sites_all = _parse_guide(cfg.guide_path, sdx, frag_pos)
+        if len(sites_all) and (sites_all[1:] < sites_all[:-1]).any():
+            # non-ascending bed: the streaming early-stop reduction
+            # below needs monotone sites; fall back to the full-read
+            # path (reference semantics preserved either way)
+            _run_guide_legacy(ctx, w, st, files, sites_all)
+        else:
+            _run_guide_windowed(ctx, w, st, files, sites_all)
 
     w.close()
     if cfg.site_range is None:
@@ -1072,10 +1060,9 @@ class _SiteWriters:
             self.snpf.close()
 
 
-def _guide_sites(guide_path, sdx, frag_pos, streams):
-    """Expand bed intervals into global site positions, honoring the
-    reference's early stop when every pileup stream is exhausted
-    (pecaller.c:952-1068)."""
+def _parse_guide(guide_path, sdx, frag_pos) -> np.ndarray:
+    """Expand bed intervals into global site positions (bed order),
+    honoring the reference's blank-line early terminator."""
     fp_prev = np.concatenate([[0], frag_pos])
     name_to_i = {nm: i for i, nm in enumerate(sdx.names)}
     sites = []
@@ -1091,9 +1078,95 @@ def _guide_sites(guide_path, sdx, frag_pos, streams):
             end = fp_prev[which] + int(tok[2]) - 1
             sites.append(np.arange(start, end + 1, dtype=np.int64))
     if not sites:
-        return np.zeros(0, dtype=np.int64), 0
-    sites = np.concatenate(sites)
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(sites)
 
+
+def _guide_hap(ctx, all_pos):
+    sdx, frag_pos = ctx["sdx"], ctx["frag_pos"]
+    cfg = ctx["cfg"]
+    which = find_chrom_caller(frag_pos, sdx.n_contigs,
+                              max((sdx.n_contigs - 1) // 2, 0), all_pos)
+    which = np.clip(which, 0, sdx.n_contigs - 1)
+    ctype0 = ctx["chrom_types"][which]
+    return np.where((ctype0 == CHRY) | (ctype0 == CHRMT), 1,
+                    1 if cfg.haploid else 0).astype(np.uint8)
+
+
+def _run_guide_windowed(ctx, w, st, files, sites_all):
+    """Streamed guide path (VERDICT r4 weak item 3): sites process in
+    count-bounded chunks against windowed pileup readers, so memory is
+    bounded by the chunk size regardless of bed span — mirroring the
+    reference's 50 MB sliding genome window (pecaller.c:1753-1789).
+
+    Early stop: the reference stops once every pileup stream is
+    exhausted (pecaller.c:952-1068).  For ascending sites that reduces
+    to: process sites up to and including the FIRST site >= the
+    maximum position any stream delivers (one more site is processed
+    while the last stream dies on it); no sites when every stream is
+    empty."""
+    cfg, indiv = ctx["cfg"], ctx["indiv"]
+    streams = [_ChunkedStream(p) for p in files]
+    W = min(cfg.window_positions,
+            max(1 << 18, (2 << 30) // (23 * indiv + 43)))
+    k = 0
+    lmax = -1
+    while k < len(sites_all):
+        chunk = sites_all[k:k + W]
+        hi = int(chunk[-1]) + 1
+        got = [s.take_below(hi) for s in streams]
+        for p_, _c in got:
+            if len(p_):
+                lmax = max(lmax, int(p_[-1]))
+        exhausted = all(s.exhausted for s in streams)
+        if exhausted:
+            if lmax < 0:
+                break                   # all streams empty: no sites
+            cut = int(np.searchsorted(chunk, lmax, side="left"))
+            chunk = chunk[:min(cut + 1, len(chunk))]
+            if len(chunk) == 0:
+                break
+        data = np.zeros((len(chunk), indiv, 6), dtype=np.uint16)
+        present = np.zeros((len(chunk), indiv), dtype=bool)
+        for i, (p_, c_) in enumerate(got):
+            if len(p_) == 0:
+                continue
+            idx = np.searchsorted(chunk, p_)
+            ok = idx < len(chunk)
+            ok[ok] = chunk[idx[ok]] == p_[ok]
+            data[idx[ok], i] = c_[ok]
+            present[idx[ok], i] = True
+        _process_window(ctx, w, st, chunk, data, present,
+                        _guide_hap(ctx, chunk), count_absent=True)
+        if exhausted:
+            break
+        k += W
+
+
+def _run_guide_legacy(ctx, w, st, files, sites_all):
+    """Full-read guide path for non-ascending beds (original design)."""
+    cfg, indiv = ctx["cfg"], ctx["indiv"]
+    streams = [_Stream(p) for p in files]
+    all_pos, _ = _guide_sites(sites_all, streams)
+    data = np.zeros((len(all_pos), indiv, 6), dtype=np.uint16)
+    present = np.zeros((len(all_pos), indiv), dtype=bool)
+    for i, sstream in enumerate(streams):
+        if len(sstream.pos) == 0:
+            continue
+        idx = np.searchsorted(all_pos, sstream.pos)
+        ok = idx < len(all_pos)
+        ok[ok] = all_pos[idx[ok]] == sstream.pos[ok]
+        data[idx[ok], i] = sstream.counts[ok]
+        present[idx[ok], i] = True
+    _process_window(ctx, w, st, all_pos, data, present,
+                    _guide_hap(ctx, all_pos), count_absent=True)
+
+
+def _guide_sites(sites, streams):
+    """Per-site early-stop walk over pre-expanded guide sites: stops
+    when every pileup stream is exhausted (pecaller.c:952-1068)."""
+    if len(sites) == 0:
+        return sites, 0
     # early stop: walk sites, tracking when each stream exhausts
     running = sum(1 for s in streams if not s.done)
     if running == 0:

@@ -150,6 +150,75 @@ def test_caller_parity_guide_bed(call_golden, tmp_path):
     _compare(d, str(tmp_path / "ourbed"), "refbed")
 
 
+def test_caller_guide_bed_windowed_chunks(call_golden, tmp_path):
+    """The streamed guide path with a tiny chunk size (forcing many
+    chunks + the early-stop reduction mid-chunk) must still match the
+    reference bytes — guide memory is bounded by the chunk, not the
+    bed span (VERDICT r4 weak item 3)."""
+    d = call_golden
+    bed = os.path.join(d, "regions.bed")
+    if not golden_ready(os.path.join(d, "refbed.snp")):
+        pytest.skip("guide golden not built")
+    cfg = CallerConfig(pileup_ext="pileup",
+                       sdx_path=os.path.join(d, "g.sdx"),
+                       out_base=str(tmp_path / "ourbedw"),
+                       prob_to_call=0.95, theta=0.001, haploid=False,
+                       guide_path=bed, directory=d, nthreads=2,
+                       window_positions=1 << 10)
+    run_caller(cfg)
+    _compare(d, str(tmp_path / "ourbedw"), "refbed")
+
+
+def test_caller_guide_early_stop_windowed_matches_legacy(tmp_path):
+    """Early-stop semantics of the streamed guide path: with a bed
+    extending far past the last pileup record, the windowed reduction
+    (first site >= max delivered position, +1) must process exactly
+    the same site set as the per-site legacy walk."""
+    import gzip as _gz
+    from unittest import mock
+    from pecaller_tpu.formats.pileup import write_pileup
+    from pecaller_tpu.index import build_index
+    from pecaller_tpu.caller import runner as crunner
+    d = str(tmp_path)
+    rng = np.random.default_rng(8)
+    names, seqs = make_genome(rng, [8000])
+    write_fasta(os.path.join(d, "genome.fa"), names, seqs)
+    build_index(os.path.join(d, "genome.fa"), os.path.join(d, "g"),
+                write_idx=False)
+    from pecaller_tpu.formats.sdx import read_sdx, read_seq
+    sdx = read_sdx(os.path.join(d, "g.sdx"))
+    genome = read_seq(os.path.join(d, "g.seq"), sdx.genome_size)
+    lut = np.full(256, 0, np.int16)
+    for ch, i in zip(b"ACGT", range(4)):
+        lut[ch] = i
+    ref = lut[genome]
+    # streams end at different positions, all well before the bed end
+    for s, stop in enumerate((3000, 2500, 3500)):
+        pos = np.arange(stop, dtype=np.uint32)
+        cnt = np.zeros((stop, 6), np.uint16)
+        cnt[np.arange(stop), ref[:stop]] = 20
+        write_pileup(os.path.join(d, f"s{s}.pileup.gz"), pos, cnt)
+    with open(os.path.join(d, "b.bed"), "w") as f:
+        f.write(f"{names[0]}\t100\t7900\n")
+    base = dict(pileup_ext="pileup", sdx_path=os.path.join(d, "g.sdx"),
+                prob_to_call=0.95, theta=0.001, haploid=False,
+                guide_path=os.path.join(d, "b.bed"), directory=d,
+                nthreads=2, window_positions=1 << 9)
+    run_caller(CallerConfig(out_base=os.path.join(d, "win"), **base))
+    with mock.patch.object(crunner, "_run_guide_windowed",
+                           crunner._run_guide_legacy):
+        run_caller(CallerConfig(out_base=os.path.join(d, "leg"),
+                                **base))
+    for ext in (".base.gz", ".piles.gz"):
+        with _gz.open(os.path.join(d, "win" + ext), "rb") as f1, \
+                _gz.open(os.path.join(d, "leg" + ext), "rb") as f2:
+            assert f1.read() == f2.read(), ext
+    assert open(os.path.join(d, "win.snp"), "rb").read() == \
+        open(os.path.join(d, "leg.snp"), "rb").read()
+    assert open(os.path.join(d, "win.dist")).read() == \
+        open(os.path.join(d, "leg.dist")).read()
+
+
 @pytest.fixture(scope="module")
 def denovo_golden():
     """Hand-crafted trio pileups that force DENOVO_ rows."""
