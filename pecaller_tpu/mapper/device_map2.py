@@ -56,6 +56,11 @@ PAD_SCORE = -36
 POS_PAD = np.int32(2 ** 30)
 HIT_CAP = 16
 INS_CAP = 2048
+# pileup accumulator rows past genome end: the windowed pileup scatter
+# writes (R_ROWS, 6) blocks per winner (contiguous-window scatter_add,
+# ~1.6x the flat per-element scatter), and a window starting near the
+# genome end overhangs by < R_ROWS <= 512 rows of EV_NONE zeros
+SCATTER_PAD = 512
 
 
 # --------------------------------------------------------------------------
@@ -1278,6 +1283,12 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             return _stage_out(dev_counts, ev_kind, ins_j, ins_len)
 
         # --- pileup scatter (flat u32) -------------------------------------
+        # NOTE (measured, round 5): a contiguous-window scatter_add
+        # ((R_ROWS*6,) update block per winner) is 8x faster in
+        # isolation (3.3 vs 27 ms) but XLA lowers it to a SERIAL
+        # 16k-iteration while-loop inside this program (~50 ms) — the
+        # flat per-element scatter-add stays the fastest in-program
+        # form on this toolchain
         rowv = jnp.arange(R_ROWS, dtype=jnp.int32)[None, :]
         pos_abs = start_w[:, None] + rowv
         okev = (ev_kind != sw2.EV_NONE) & w_ok[:, None]
@@ -1287,8 +1298,12 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             dev_counts = dev_counts.at[0].add(
                 flat_idx.astype(jnp.uint32).sum())
         else:
-            dev_counts = dev_counts.at[flat_idx].add(
-                okev.reshape(-1).astype(jnp.uint32), mode="drop")
+            # materialize indices/updates: fused into the scatter their
+            # computation scalarizes inside the scatter loop (measured
+            # 24 ms fused vs ~9 ms materialized on the headline batch)
+            flat_idx, upd = jax.lax.optimization_barrier(
+                (flat_idx, okev.reshape(-1).astype(jnp.uint32)))
+            dev_counts = dev_counts.at[flat_idx].add(upd, mode="drop")
         insm = (ins_j >= 0) & w_ok[:, None]
         # insertion count column (rare): compact then scatter tiny
         fi = insm.reshape(-1)
@@ -1455,10 +1470,12 @@ class FusedMapperEngine2(MapperEngine):
         self._n_sh = 1
         if mesh is not None:
             self._n_sh = int(np.prod(list(mesh.shape.values())))
+        gs_p = gs + SCATTER_PAD
         if self._n_sh > 1:
-            self.dev_counts = jnp.zeros((self._n_sh, gs * 6), jnp.uint32)
+            self.dev_counts = jnp.zeros((self._n_sh, gs_p * 6),
+                                        jnp.uint32)
         else:
-            self.dev_counts = jnp.zeros(gs * 6, jnp.uint32)
+            self.dev_counts = jnp.zeros(gs_p * 6, jnp.uint32)
         if quarter is not None:
             from ..index.quarter import QuarterDeviceIndex
             self._dnbr = QuarterDeviceIndex(quarter)
@@ -1679,23 +1696,41 @@ class FusedMapperEngine2(MapperEngine):
         seqs1, lens1 = h["seqs1"], h["lens1"]
         seqs2, lens2 = h["seqs2"], h["lens2"]
 
-        rev1 = rev2 = None
-        for unit, gpos, js, ln in rec[:n_ins]:
+        # reverse-complement ONLY the rows carrying reverse-strand
+        # insertion records: whole-batch revcomp here cost ~65 ms/batch
+        # of host time on this VM (fresh-page allocations) for a
+        # handful of strings, and the host was the e2e bottleneck
+        rev_rows = {0: {}, 1: {}}
+        rr = rec[:n_ins]
+        if len(rr):
+            unit_a = rr[:, 0].astype(np.int64)
+            end_a = ((unit_a >= B) & self.paired).astype(np.int8)
+            rid_a = unit_a - np.where(end_a == 1, B, 0)
+            ok_a = (rid_a >= 0) & (rid_a < n)
+            for end in (0, 1):
+                seqs, lens, orb = (seqs1, lens1, orb1) if end == 0 \
+                    else (seqs2, lens2, orb2)
+                if seqs is None:
+                    continue
+                sel = ok_a & (end_a == end)
+                rids = rid_a[sel]
+                rids = rids[~fb[rids] & (orb[rids] == 1)]
+                uniq = np.unique(rids)
+                if len(uniq):
+                    sub = revcomp_batch(
+                        np.ascontiguousarray(seqs[uniq]), lens[uniq])
+                    rev_rows[end] = {int(r): sub[k]
+                                     for k, r in enumerate(uniq)}
+        for unit, gpos, js, ln in rr:
             end = 1 if (self.paired and unit >= B) else 0
             rid = int(unit) - (B if end else 0)
             if rid < 0 or rid >= n or fb[rid]:
                 continue
             if end == 0:
-                seqs, lens, orb = seqs1, lens1, orb1
-                if orb[rid] == 1 and rev1 is None:
-                    rev1 = revcomp_batch(seqs1, lens1)
-                rev = rev1
+                seqs, orb = seqs1, orb1
             else:
-                seqs, lens, orb = seqs2, lens2, orb2
-                if orb[rid] == 1 and rev2 is None:
-                    rev2 = revcomp_batch(seqs2, lens2)
-                rev = rev2
-            src = rev[rid] if orb[rid] == 1 else seqs[rid]
+                seqs, orb = seqs2, orb2
+            src = rev_rows[end][rid] if orb[rid] == 1 else seqs[rid]
             sstr = src[js:js + ln].tobytes().decode()
             rn = int(read_nos[rid]) if read_nos is not None else int(rid)
             self.ins_records.append(
@@ -1732,14 +1767,14 @@ class FusedMapperEngine2(MapperEngine):
         if dc.ndim == 2:                 # mesh: per-shard partial rows
             dc = dc.sum(axis=0, dtype=np.uint32)
         dev = (dc.reshape(-1, 6) & 0xFFFF).astype(np.uint16)
-        return (host + dev).astype(np.uint16)
+        return (host + dev[:self.sdx.genome_size]).astype(np.uint16)
 
     def reset_group(self) -> None:
         self._flush_staged()
         super().reset_group()
+        gs_p = self.sdx.genome_size + SCATTER_PAD
         if self._n_sh > 1:
             self.dev_counts = self._jnp.zeros(
-                (self._n_sh, self.sdx.genome_size * 6), self._jnp.uint32)
+                (self._n_sh, gs_p * 6), self._jnp.uint32)
         else:
-            self.dev_counts = self._jnp.zeros(
-                self.sdx.genome_size * 6, self._jnp.uint32)
+            self.dev_counts = self._jnp.zeros(gs_p * 6, self._jnp.uint32)

@@ -69,12 +69,13 @@ def sharded_genome_step(mesh, dnbr, *, paired, bisulfite, min_dist,
         return dc[None], out[None]
 
     g2 = P("genome", None)
+    g3 = P("genome", None, None)
     batch_specs = (P(None, None), P(None), P(None, None), P(None),
                    P(None), P(None), P(None))
     step = shard_map(
         local, mesh=mesh,
         in_specs=(g2, *([g2] * (n_idx + 4)), *batch_specs, g2),
-        out_specs=(g2, P("genome", None, None)),
+        out_specs=(g2, g3),
         check_vma=False)
     return jax.jit(step, donate_argnums=(0,))
 
@@ -122,7 +123,10 @@ class OctileShardedEngine(FusedMapperEngine2):
         self._dnbr = _OctShardSet(devs, tuple(idx_stacked))
 
         # per-shard genome slices (seq coords), equal padded length
-        cs_max = int(plan.cover_seq.max())
+        # (+SCATTER_PAD: the windowed pileup scatter may overhang past
+        # a shard's covered span with EV_NONE zero rows)
+        from .device_map2 import SCATTER_PAD
+        cs_max = int(plan.cover_seq.max()) + SCATTER_PAD
         cs_max = ((cs_max + 31) // 32) * 32
         gcodes, gmasks = [], []
         for g in range(G):
@@ -200,12 +204,12 @@ class OctileShardedEngine(FusedMapperEngine2):
         host = self.pileup.sum(axis=0, dtype=np.uint16)
         dc = np.asarray(self.dev_counts)        # (G, cs_max*6)
         gs = self.sdx.genome_size
-        dev = np.zeros(gs * 6, np.uint32)
+        dev = np.zeros((gs, 6), np.uint32)
         for g in range(self._plan.n_shards):
-            b = int(self._plan.bases_seq[g]) * 6
-            span = min(self._local_seq * 6, gs * 6 - b)
-            dev[b:b + span] += dc[g, :span]
-        dev = (dev.reshape(-1, 6) & 0xFFFF).astype(np.uint16)
+            b = int(self._plan.bases_seq[g])
+            span = min(self._local_seq, gs - b)
+            dev[b:b + span] += dc[g].reshape(-1, 6)[:span]
+        dev = (dev & 0xFFFF).astype(np.uint16)
         return (host + dev).astype(np.uint16)
 
     def reset_group(self) -> None:
@@ -213,6 +217,6 @@ class OctileShardedEngine(FusedMapperEngine2):
         from jax.sharding import NamedSharding, PartitionSpec as P
         MapperEngine.reset_group(self)
         self.dev_counts = jax.device_put(
-            self._jnp.zeros_like(np.zeros(
-                (self._plan.n_shards, self._local_seq * 6), np.uint32)),
+            self._jnp.zeros((self._plan.n_shards, self._local_seq * 6),
+                            self._jnp.uint32),
             NamedSharding(self._mesh, P("genome", None)))

@@ -114,7 +114,7 @@ def sharded_fused_step2(mesh: Mesh, dnbr, *, paired: bool,
     Returns (step, n_shards).  Step signature matches the single-chip
     fused step except every per-batch array carries a leading
     (n_shards,) axis (see ``shard_units``) and dev_counts is
-    (n_shards, genome_size*6) uint32, donated.
+    (n_shards, (genome_size + SCATTER_PAD) * 6) uint32, donated.
     """
     from ..mapper.device_map2 import build_fused_step2
 

@@ -48,8 +48,8 @@ dev_in = [jax.device_put(np.concatenate([x, y], axis=0))
           for x, y in zip(a1, a2)]
 jax.block_until_ready(dev_in)
 d_ = eng._dnbr
-fixed = (d_.nkeys, d_.val_start, d_.hi_table, d_.positions,
-         eng._gcode, eng._gmask, eng._ist_dev, eng._st_pad_dev)
+fixed = (*d_.args, eng._gcode, eng._gmask, eng._ist_dev,
+         eng._st_pad_dev)
 
 VARIANTS = sys.argv[1].split(",") if len(sys.argv) > 1 else \
     ["", "rank", "posgather", "windows", "sw", "tb", "scatter"]
