@@ -38,10 +38,13 @@ integer arithmetic).
 
 from __future__ import annotations
 
+import ctypes
 import functools
 import os
 
 import numpy as np
+
+from ..native.build import ptr as _ptr
 
 from ..index.nbr import NbrIndex, NBR_HI_BITS as NBR_HI_BITS_DEV
 from ..ops import sw2
@@ -53,9 +56,29 @@ from .seeds import segment_offsets, revcomp_batch
 from .device_pipeline import exact_score_threshold, _pad_to, _bucket_b
 
 PAD_SCORE = -36
+
+
+# diagnosis knob: comma list of tie-flag categories to drop from the
+# byte-exact routing ("align", "dec", "walk") — measurement only, NOT a
+# correctness switch (dropping a category reintroduces tie-placement
+# divergence vs the C reference)
+_TIE_SKIP = set(filter(None, os.environ.get(
+    "PECALLER_TIE_SKIP", "").split(",")))
+
+
+def _mix32(x):
+    """murmur3 finalizer on uint32 (jnp; multiplication wraps)."""
+    import jax.numpy as jnp
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
 POS_PAD = np.int32(2 ** 30)
 HIT_CAP = 16
 INS_CAP = 2048
+TIE_CAP = 2048          # walk-tie record rows per batch (overflow -> fb)
 # pileup accumulator rows past genome end: the windowed pileup scatter
 # writes (R_ROWS, 6) blocks per winner (contiguous-window scatter_add,
 # ~1.6x the flat per-element scatter), and a window starting near the
@@ -142,6 +165,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                       n_contigs: int, genome_size: int,
                       B: int, M: int, N: int, s_max: int,
                       seg_cap: int = 16, ins_cap: int = INS_CAP,
+                      tie_cap: int = TIE_CAP,
                       h_factor: float = 1.5, jit: bool = True,
                       max_rlen: int | None = None,
                       genome_axis: str | None = None,
@@ -175,6 +199,17 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
     L = max(M - IDEPTH + 1, 1)
 
     sw_align, sw_traceback = _sw_fns(N)
+
+    # decide-tie hash: per-column powers of two independent odd
+    # multipliers (uint32 wraparound), computed once per build
+    pw_np = np.empty((2, N), np.uint32)
+    for t, mlt in enumerate((2654435761, 2246822519)):
+        p = 1
+        for c in range(N):
+            pw_np[t, c] = p
+            p = (p * mlt) & 0xFFFFFFFF
+    pw_a = jnp.asarray(pw_np[0])
+    pw_b = jnp.asarray(pw_np[1])
 
     # ---- helpers ---------------------------------------------------------
 
@@ -905,7 +940,17 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
 
     # ---- decision layer (verbatim semantics from device_pipeline) -------
 
-    def decide_single(smax, valid, thr):
+    def _top_tie(is_top, cnt, h):
+        """True when >=2 candidates attain the exact top score with
+        DIFFERENT DP inputs (hash inequality): the reference's strict
+        f64 `>` best-replacement scan is rounding-noise-dependent
+        there, so the unit is routed to the bit-exact host engine."""
+        hmin = jnp.min(jnp.where(is_top, h, jnp.uint32(0xFFFFFFFF)),
+                       axis=1)
+        hmax = jnp.max(jnp.where(is_top, h, jnp.uint32(0)), axis=1)
+        return (cnt >= 2) & (hmin != hmax)
+
+    def decide_single(smax, valid, thr, h):
         elig = valid & (smax >= thr[:, None])
         top = jnp.max(jnp.where(elig, smax, NEGBIG), axis=1)
         is_top = elig & (smax == top[:, None])
@@ -915,7 +960,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                          jnp.where(cnt == 1, UNIQUE_SINGLE, NON_NO))
         use = (cnt == 1).astype(jnp.int32)
         best = jnp.where(cnt == 1, bsm, 0)
-        return code, best, use
+        return code, best, use, _top_tie(is_top, cnt, h)
 
     def first_argmax(masked_bool):
         return jnp.argmax(masked_bool, axis=1).astype(jnp.int32)
@@ -924,6 +969,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         smax1, pos1, v1 = e1["smax"], e1["pos"], e1["valid"]
         smax2, pos2, v2 = e2["smax"], e2["pos"], e2["valid"]
         or1, or2 = e1["orient"], e2["orient"]
+        h1, h2 = e1["hash"], e2["hash"]
         K = smax1.shape[1]
         idx = jnp.arange(K, dtype=jnp.int32)[None, :]
         el1 = v1 & (smax1 >= thr1[:, None])
@@ -986,8 +1032,23 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         use1 = jnp.where(has_perf, use_both, u1).astype(jnp.int32)
         use2 = jnp.where(has_perf, use_both, u2).astype(jnp.int32)
 
-        c_s1, b_s1, u_s1 = decide_single(smax1, v1, thr1)
-        c_s2, b_s2, u_s2 = decide_single(smax2, v2, thr2)
+        # decide-level tie flags: the no-perfect best1/best2 scans use
+        # UNTHRESHOLDED strict `>` replacement (pemapper.c:1454-1468),
+        # so an exact top tie across different DP inputs makes both the
+        # class (m_c reset vs increment) and the chosen locus
+        # rounding-dependent in the reference.  The perfect path is
+        # immune: its comparisons carry a 0.001 band that exactly-int
+        # ties always fall inside (min nonzero exact gap is 1/36).
+        t_np1 = _top_tie(v1 & (smax1 == max1[:, None]),
+                         (v1 & (smax1 == max1[:, None])).sum(1), h1)
+        t_np2 = _top_tie(v2 & (smax2 == max2[:, None]),
+                         (v2 & (smax2 == max2[:, None])).sum(1), h2)
+        # a sub-threshold tied top never lands (u1/u2 stay 0 in every
+        # rounding outcome), so only eligible tops are ambiguous
+        tie_np = (~has_perf) & ((t_np1 & elig_b1) | (t_np2 & elig_b2))
+
+        c_s1, b_s1, u_s1, t_s1 = decide_single(smax1, v1, thr1, h1)
+        c_s2, b_s2, u_s2, t_s2 = decide_single(smax2, v2, thr2, h2)
         n1z = ~v1.any(1)
         n2z = ~v2.any(1)
         both = (~n1z) & (~n2z)
@@ -1000,7 +1061,10 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         best2 = jnp.where(both, b2, jnp.where(only2, b_s2, 0))
         use1 = jnp.where(both, use1, jnp.where(only1, u_s1, 0))
         use2 = jnp.where(both, use2, jnp.where(only2, u_s2, 0))
-        return code, best1, best2, use1, use2
+        tie_fb = jnp.where(both, tie_np,
+                           jnp.where(only1, t_s1,
+                                     jnp.where(only2, t_s2, False)))
+        return code, best1, best2, use1, use2, tie_fb
 
     # ---- the fused step --------------------------------------------------
 
@@ -1074,7 +1138,8 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         acc = jnp.zeros((), jnp.int32)
         for x in xs:
             acc = acc + x.astype(jnp.int32).sum()
-        out = jnp.zeros((B + ins_cap + 1, 6), jnp.int32).at[0, 0].set(acc)
+        out = jnp.zeros((B + ins_cap + 1 + tie_cap + 1, 6),
+                        jnp.int32).at[0, 0].set(acc)
         return dev_counts, out
 
     def step(dev_counts, *rest):
@@ -1082,9 +1147,12 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         seqs_u, lens, offsets, n_segs, mm0, thr, fb_pad).
 
         All (U, ...) unit-major inputs (end-major: end1 rows then
-        end2).  Returns (dev_counts, out (B+ins_cap+1, 6) int32: rows
-        [:B] = [m1, m2, code, orb1, orb2, fb]; rows [B:] = insertion
-        records [unit, gpos, jstart, len, n_ins-tail-marker])."""
+        end2).  Returns (dev_counts, out (B+ins_cap+1+tie_cap+1, 6)
+        int32: rows [:B] = [m1, m2, code, orb1, orb2, fb]; rows
+        [B:B+ins_cap+1] = insertion records [unit, gpos, jstart, len,
+        n_ins-tail-marker]; the rest = walk-tie records [unit, gstart,
+        blen, orient, bt_k, bt_i, n-tail-marker] for host f64 window
+        backtrack)."""
         idx_args = rest[:n_idx]
         if octile_mode:
             # gctx (5,) i32 per shard: [base_idx, base_seq, own_lo,
@@ -1161,9 +1229,10 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             score = rlens_s * 36
             bk = jnp.zeros(H_CAP, jnp.int32)
             bi = jnp.minimum(rlens_s, blen_m)
+            tie_a = jnp.zeros(H_CAP, bool)
         else:
-            score, bk, bi = sw_align(refs_x, blen_m, reads_s, rlens_s,
-                                     bisulfite, R_ROWS)
+            score, bk, bi, tie_a = sw_align(refs_x, blen_m, reads_s,
+                                            rlens_s, bisulfite, R_ROWS)
         if STAGE == 3:
             return _stage_out(dev_counts, score, bk, bi)
 
@@ -1173,6 +1242,29 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         smax = score_pad[slot_tab]                     # (U, CAP)
         spots_pad = jnp.concatenate([spots_s, jnp.zeros(1, jnp.int32)])
         pos_tab = spots_pad[slot_tab]
+
+        # per-slot DP-input hash for decide-level tie disambiguation:
+        # two slots with equal EXACT scores but different DP inputs
+        # (window bases to blen, or orientation) have independent f64
+        # rounding noise in the reference's strict `>` best-replacement
+        # scans (pemapper.c:1101,1454-1468), so the C outcome is
+        # ambiguous; identical inputs give bitwise-identical f64 scores
+        # and the first candidate deterministically wins on both sides.
+        # Hash equality stands in for input equality (32-bit avalanche
+        # mix of two independent linear digests: false-equal odds
+        # ~2^-32 per compared pair, and a collision only matters when
+        # the C run would also have diverged).
+        colm = jnp.arange(N, dtype=jnp.int32)[None, :] < blen_m[:, None]
+        hv = jnp.where(colm, refs_x.astype(jnp.uint32) + 1,
+                       jnp.uint32(0))
+        ha = (hv * pw_a[None, :]).sum(axis=1, dtype=jnp.uint32)
+        hb = (hv * pw_b[None, :]).sum(axis=1, dtype=jnp.uint32)
+        hs = _mix32(ha ^ (blen_m.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+                    ^ (ors_s.astype(jnp.uint32) << 31))
+        hs = hs ^ _mix32(hb + jnp.uint32(0x85EBCA6B))
+        hash_pad = jnp.concatenate([jnp.where(slot_ok, hs, jnp.uint32(0)),
+                                    jnp.zeros(1, jnp.uint32)])
+        htab = hash_pad[slot_tab]                      # (U, CAP)
 
         # windows touching exotic genome chars -> host fallback
         exo_pad = jnp.concatenate([exo & slot_ok, jnp.zeros(1, bool)])
@@ -1204,27 +1296,33 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             orient_d = ag(jnp.where(validh_c, orient.astype(jnp.int8),
                                     jnp.int8(0)))
             valid_d = ag(validh_c)
+            hash_d = ag(jnp.where(validh_c, htab, jnp.uint32(0)))
         else:
             my_g = None
             validh_c = (jnp.arange(CAP, dtype=jnp.int32)[None, :]
                         < tot[:, None])
             smax_d, pos_d, orient_d, valid_d = (smax, pos_tab, orient,
                                                 validh_c)
+            hash_d = htab
         if "decide" in PROF_SKIP:
             code_out = jnp.zeros(B, jnp.int32)
             best_u = jnp.zeros(U, jnp.int32)
             use_u = (tot > 0).astype(jnp.int32)
+            tie_dec = jnp.zeros(U, bool)
         elif paired:
             e1 = dict(smax=smax_d[:B], pos=pos_d[:B], valid=valid_d[:B],
-                      orient=orient_d[:B])
+                      orient=orient_d[:B], hash=hash_d[:B])
             e2 = dict(smax=smax_d[B:], pos=pos_d[B:], valid=valid_d[B:],
-                      orient=orient_d[B:])
-            code, b1, b2, u1, u2 = decide_pair(e1, e2, thr[:B], thr[B:])
+                      orient=orient_d[B:], hash=hash_d[B:])
+            code, b1, b2, u1, u2, tie_p = decide_pair(e1, e2, thr[:B],
+                                                      thr[B:])
             best_u = jnp.concatenate([b1, b2])
             use_u = jnp.concatenate([u1, u2])
             code_out = code
+            tie_dec = jnp.concatenate([tie_p, tie_p])
         else:
-            code_out, b1, u1 = decide_single(smax_d, valid_d, thr)
+            code_out, b1, u1, tie_dec = decide_single(smax_d, valid_d,
+                                                      thr, hash_d)
             best_u = b1
             use_u = u1
 
@@ -1239,6 +1337,21 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         slot_b = jnp.take_along_axis(slot_tab, best_loc[:, None],
                                      axis=1)[:, 0]
         slot_b = jnp.clip(slot_b, 0, H_CAP - 1)
+        # pre-walk tie routing: decide-level ambiguity, or an exact
+        # argmax-cell tie in the winner's last DP column (rounding-
+        # dependent bt cell => rounding-dependent .mfile position and
+        # walk start).  Flagged units skip device traceback and are
+        # re-mapped by the bit-exact f64 host engine in resolve().
+        if "dec" in _TIE_SKIP:
+            tie_dec = jnp.zeros(U, bool)
+        tie_al_u = (use_loc == 1) & tie_a[slot_b]
+        if "align" in _TIE_SKIP:
+            tie_al_u = jnp.zeros(U, bool)
+        tie_pre = pairize(tie_dec | tie_al_u)
+        if genome_axis is not None:
+            tie_pre = jax.lax.pmax(tie_pre.astype(jnp.int32),
+                                   genome_axis) > 0
+        use_loc = jnp.where(tie_pre, 0, use_loc)
         m_u = jnp.where(use_loc == 1,
                         start_s[slot_b] + bi[slot_b] + 1, 0)
         if genome_axis is not None:
@@ -1275,12 +1388,37 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             ev_kind = jnp.zeros((U, R_ROWS), jnp.int8)
             ins_j = jnp.full((U, R_ROWS), -1, jnp.int32)
             ins_len = jnp.zeros((U, R_ROWS), jnp.int32)
+            tie_w = jnp.zeros(U, bool)
         else:
-            ev_kind, ins_j, ins_len = sw_traceback(
+            ev_kind, ins_j, ins_len, tie_w = sw_traceback(
                 refs_w, blen_w, reads_w, rlens_w, k_w, i_w, bisulfite,
                 R_ROWS)
         if STAGE == 5:
             return _stage_out(dev_counts, ev_kind, ins_j, ins_len)
+
+        # walk-tie routing: lanes whose traceback crossed an exact-
+        # equality decision get their device pileup/ins contributions
+        # suppressed and a (unit, window, bt-cell) record emitted; the
+        # host redoes JUST that window's f64 backtrack bit-exactly
+        # (native sw_backtrack_batch) — the C f64 walk's path there is
+        # rounding-noise-dependent (pemapper.c:1799-1831), while the
+        # unit's class/locus/.mfile stay device-decided (walk ties
+        # cannot change them).  Records past tie_cap demote their unit
+        # to the full host-remap path (fb) so correctness never depends
+        # on the cap.
+        if "walk" in _TIE_SKIP:
+            tie_w = jnp.zeros(U, bool)
+        tied = w_ok & tie_w
+        trank = jnp.cumsum(tied.astype(jnp.int32))       # inclusive
+        t_over = tied & (trank > tie_cap)
+        fb_over = jnp.zeros(U, bool).at[
+            jnp.where(t_over, uw, U)].set(True, mode="drop")
+        fb_over = pairize(fb_over)
+        if genome_axis is not None:
+            fb_over = jax.lax.pmax(fb_over.astype(jnp.int32),
+                                   genome_axis) > 0
+        # suppress: every tied lane, plus BOTH lanes of overflow units
+        lane_keep = ~tied & ~fb_over[uw]
 
         # --- pileup scatter (flat u32) -------------------------------------
         # NOTE (measured, round 5): a contiguous-window scatter_add
@@ -1291,7 +1429,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         # form on this toolchain
         rowv = jnp.arange(R_ROWS, dtype=jnp.int32)[None, :]
         pos_abs = start_w[:, None] + rowv
-        okev = (ev_kind != sw2.EV_NONE) & w_ok[:, None]
+        okev = (ev_kind != sw2.EV_NONE) & w_ok[:, None] & lane_keep[:, None]
         flat_idx = jnp.where(
             okev, pos_abs * 6 + ev_kind.astype(jnp.int32), 0).reshape(-1)
         if "scatter" in PROF_SKIP:
@@ -1304,7 +1442,7 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
             flat_idx, upd = jax.lax.optimization_barrier(
                 (flat_idx, okev.reshape(-1).astype(jnp.uint32)))
             dev_counts = dev_counts.at[flat_idx].add(upd, mode="drop")
-        insm = (ins_j >= 0) & w_ok[:, None]
+        insm = (ins_j >= 0) & w_ok[:, None] & lane_keep[:, None]
         # insertion count column (rare): compact then scatter tiny
         fi = insm.reshape(-1)
         ci = jnp.cumsum(fi.astype(jnp.int32))
@@ -1342,16 +1480,41 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
                             0), 0),
             zc, zc], axis=1)
 
+        # walk-tie record block: compacted (unit, global window start,
+        # blen, orient, bt_k, bt_i) rows for the host f64 re-backtrack;
+        # lanes of overflow-demoted units are excluded (their units go
+        # through the full host remap instead)
+        rsel = tied & ~fb_over[uw]
+        crt = jnp.cumsum(rsel.astype(jnp.int32))
+        n_trec = crt[-1]
+        tsrc = vsearch_ge(crt, jnp.arange(1, tie_cap + 1, dtype=jnp.int32),
+                          steps_u)
+        tsrc = jnp.clip(tsrc, 0, U - 1)
+        t_ok = jnp.arange(tie_cap, dtype=jnp.int32) < n_trec
+        tstart = start_w[tsrc]
+        if genome_axis is not None:
+            tstart = tstart + gctx[1]
+        trec = jnp.stack([
+            _pad1(jnp.where(t_ok, uw[tsrc], -1), 0).at[tie_cap].set(
+                n_trec),
+            _pad1(jnp.where(t_ok, tstart, 0), 0),
+            _pad1(jnp.where(t_ok, blen_w[tsrc], 0), 0),
+            _pad1(jnp.where(t_ok, orw[tsrc], 0), 0),
+            _pad1(jnp.where(t_ok, k_w[tsrc], 0), 0),
+            _pad1(jnp.where(t_ok, i_w[tsrc], 0), 0)], axis=1)
+
+        fb_all = fb | tie_pre | fb_over
         if paired:
             packed = jnp.stack(
                 [m_u[:B], m_u[B:], code_out,
                  orb_u[:B], orb_u[B:],
-                 (fb[:B] | fb[B:]).astype(jnp.int32)], axis=1)
+                 (fb_all[:B] | fb_all[B:]).astype(jnp.int32)], axis=1)
         else:
             packed = jnp.stack(
                 [m_u, jnp.zeros(B, jnp.int32), code_out, orb_u,
-                 jnp.zeros(B, jnp.int32), fb.astype(jnp.int32)], axis=1)
-        return dev_counts, jnp.concatenate([packed, rec], axis=0)
+                 jnp.zeros(B, jnp.int32), fb_all.astype(jnp.int32)],
+                axis=1)
+        return dev_counts, jnp.concatenate([packed, rec, trec], axis=0)
 
     if jit:
         return jax.jit(step, donate_argnums=(0,))
@@ -1492,6 +1655,7 @@ class FusedMapperEngine2(MapperEngine):
         self._st_pad_dev = jnp.asarray(st_pad)
         self._fns = {}
         self.n_fallback = 0
+        self.n_tiefix = 0       # walk-tie windows re-walked on host
         # mesh-path instrumentation: host dispatch wall vs device step
         # wall, so scaling efficiency is measurable the day multi-chip
         # hardware exists (VERDICT r3 item 6)
@@ -1654,38 +1818,51 @@ class FusedMapperEngine2(MapperEngine):
         n = h["n"]
         B = h["B"]
         if out.ndim == 3:
-            # sharded layout (n_sh, bl + ins_cap + 1, 6): shard s holds
-            # pairs [s*bl, (s+1)*bl) with unit rows [end1 bl | end2 bl];
-            # normalize to the single-device packed/rec convention
+            # sharded layout (n_sh, bl + ins_cap+1 + tie_cap+1, 6):
+            # shard s holds pairs [s*bl, (s+1)*bl) with unit rows
+            # [end1 bl | end2 bl]; normalize to the single-device
+            # packed/rec/trec convention
             n_sh = out.shape[0]
             bl = B // n_sh
             packed = out[:, :bl, :].reshape(B, 6)
             parts = []
+            tparts = []
             for sh in range(n_sh):
-                rec_s = out[sh, bl:, :4]
+                rec_s = out[sh, bl:bl + INS_CAP + 1, :4]
                 n_ins_s = int(rec_s[-1, 0])
                 if n_ins_s > rec_s.shape[0] - 1:
                     raise RuntimeError(
                         "insertion record cap exceeded on shard "
                         f"{sh}; raise ins_cap in device_map2")
                 r = rec_s[:n_ins_s].copy()
+                tr_s = out[sh, bl + INS_CAP + 1:, :6]
+                n_t_s = int(tr_s[-1, 0])
+                tr = tr_s[:n_t_s].copy()
                 if self.paired:
-                    end2 = r[:, 0] >= bl
-                    r[:, 0] = np.where(end2, B + sh * bl + (r[:, 0] - bl),
-                                       sh * bl + r[:, 0])
+                    for arr in (r, tr):
+                        end2 = arr[:, 0] >= bl
+                        arr[:, 0] = np.where(
+                            end2, B + sh * bl + (arr[:, 0] - bl),
+                            sh * bl + arr[:, 0])
                 else:
                     r[:, 0] = sh * bl + r[:, 0]
+                    tr[:, 0] = sh * bl + tr[:, 0]
                 parts.append(r)
+                tparts.append(tr)
             rec = (np.concatenate(parts) if parts
                    else np.zeros((0, 4), out.dtype))
             n_ins = len(rec)
+            trec = (np.concatenate(tparts) if tparts
+                    else np.zeros((0, 6), out.dtype))
         else:
             packed = out[:B]
-            rec = out[B:, :4]
+            rec = out[B:B + INS_CAP + 1, :4]
             n_ins = int(rec[-1, 0])
             if n_ins > rec.shape[0] - 1:
                 raise RuntimeError("insertion record cap exceeded; raise "
                                    "ins_cap in device_map2")
+            trec_a = out[B + INS_CAP + 1:, :6]
+            trec = trec_a[:int(trec_a[-1, 0])]
         m1 = packed[:n, 0].astype(np.uint32)
         m2 = packed[:n, 1].astype(np.uint32)
         code = packed[:n, 2].astype(np.int32)
@@ -1703,6 +1880,11 @@ class FusedMapperEngine2(MapperEngine):
         rev_rows = {0: {}, 1: {}}
         rr = rec[:n_ins]
         if len(rr):
+            # per-unit DESCENDING gpos: the reference walk attaches
+            # insertion strings high-to-low (pemapper.c:1875-1905), and
+            # the .indel writer preserves within-read append order
+            g_u = rr[:, 1].astype(np.int64) & 0xFFFFFFFF
+            rr = rr[np.lexsort((-g_u, rr[:, 0].astype(np.int64)))]
             unit_a = rr[:, 0].astype(np.int64)
             end_a = ((unit_a >= B) & self.paired).astype(np.int8)
             rid_a = unit_a - np.where(end_a == 1, B, 0)
@@ -1735,6 +1917,83 @@ class FusedMapperEngine2(MapperEngine):
             rn = int(read_nos[rid]) if read_nos is not None else int(rid)
             self.ins_records.append(
                 ((self._order_counter + rn, end), int(gpos), sstr))
+
+        # walk-tie records: the device suppressed these lanes' pileup/
+        # ins contributions; redo JUST those windows' f64 DP+walk with
+        # the native engine (bit-exact vs pemapper.c:1752-1965 — the
+        # device detected an exact-equality decision on the path, where
+        # the C f64 choice is rounding-dependent).  Class/locus/.mfile
+        # stay device-decided: walk ties cannot change them, and the
+        # device bt cell equals the C argmax cell (align ties are
+        # routed to the full host remap instead).
+        if len(trec):
+            tr = trec
+            unit_t = tr[:, 0].astype(np.int64)
+            end_t = ((unit_t >= B) & self.paired).astype(np.int8)
+            rid_t = unit_t - np.where(end_t == 1, B, 0)
+            ok_t = (rid_t >= 0) & (rid_t < n)
+            if not ok_t.all():
+                tr, unit_t, end_t, rid_t = (x[ok_t] for x in
+                                            (tr, unit_t, end_t, rid_t))
+            self.n_tiefix += len(tr)
+            starts = tr[:, 1].astype(np.int64) & 0xFFFFFFFF
+            blens_t = np.ascontiguousarray(tr[:, 2].astype(np.int32))
+            ors_t = tr[:, 3]
+            ks_t = np.ascontiguousarray(tr[:, 4].astype(np.int32))
+            is_t = np.ascontiguousarray(tr[:, 5].astype(np.int32))
+            H = len(tr)
+            W_r = seqs1.shape[1]
+            if self.paired and seqs2 is not None:
+                W_r = max(W_r, seqs2.shape[1])
+            reads_t = np.zeros((H, W_r), np.uint8)
+            rlens_t = np.zeros(H, np.int32)
+            for end in (0, 1):
+                seqs, lens = (seqs1, lens1) if end == 0 else (seqs2,
+                                                              lens2)
+                if seqs is None:
+                    continue
+                sel = np.nonzero(end_t == end)[0]
+                if not len(sel):
+                    continue
+                rids = rid_t[sel]
+                reads_t[sel, :seqs.shape[1]] = seqs[rids]
+                rlens_t[sel] = lens[rids]
+                bwd = sel[ors_t[sel] == 1]
+                if len(bwd):
+                    reads_t[bwd, :seqs.shape[1]] = revcomp_batch(
+                        np.ascontiguousarray(seqs[rid_t[bwd]]),
+                        lens[rid_t[bwd]])
+            width = int(blens_t.max()) if H else 1
+            refs_t = self._gather_refs(starts, blens_t, width)
+            reads_t = np.ascontiguousarray(reads_t)
+            ins_cap_t = H * 64 + 1024
+            ins_buf = np.zeros((ins_cap_t, 4), dtype=np.int32)
+            ins_count = np.zeros(1, dtype=np.int64)
+            pos0 = np.ascontiguousarray(starts)
+            self.lib.sw_backtrack_batch(
+                _ptr(refs_t, ctypes.c_uint8), _ptr(blens_t, ctypes.c_int32),
+                refs_t.shape[1], _ptr(reads_t, ctypes.c_uint8),
+                _ptr(rlens_t, ctypes.c_int32), reads_t.shape[1], H,
+                1 if self.bisulfite else 0, self.nthreads,
+                _ptr(ks_t, ctypes.c_int32), _ptr(is_t, ctypes.c_int32),
+                _ptr(pos0, ctypes.c_int64),
+                self.pileup.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint16)),
+                self.sdx.genome_size, _ptr(ins_buf, ctypes.c_int32),
+                ins_cap_t, _ptr(ins_count, ctypes.c_int64))
+            nrec = int(ins_count[0])
+            if nrec:
+                recs = ins_buf[:nrec]
+                order = np.argsort(recs[:, 0], kind="stable")
+                for ti, gpos, jstart, ilen in recs[order]:
+                    rid = int(rid_t[ti])
+                    end = int(end_t[ti])
+                    s = reads_t[ti, jstart:jstart + ilen].tobytes()
+                    rn = (int(read_nos[rid]) if read_nos is not None
+                          else rid)
+                    self.ins_records.append(
+                        ((self._order_counter + rn, end),
+                         int(np.uint32(gpos)), s.decode()))
 
         keep = ~fb
         self._accumulate_stats(

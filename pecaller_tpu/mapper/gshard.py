@@ -99,6 +99,7 @@ class OctileShardedEngine(FusedMapperEngine2):
         self._staged = []
         self._fns = {}
         self.n_fallback = 0
+        self.n_tiefix = 0
         self.mesh_timing = {"dispatch_s": 0.0, "fetch_s": 0.0,
                             "batches": 0}
         G = mesh.shape["genome"]
@@ -176,28 +177,44 @@ class OctileShardedEngine(FusedMapperEngine2):
         return self._fns[key]
 
     def resolve(self, h):
-        # normalize the (G, B + ins_cap + 1, 6) output to the
+        # normalize the (G, B + ins_cap+1 + tie_cap+1, 6) output to the
         # single-device convention: packed rows are replicated (m_u was
-        # psum'd over the genome axis), insertion records are per-shard
-        # with global positions — merge them under one tail marker
+        # psum'd over the genome axis), insertion/walk-tie records are
+        # per-shard with global positions — merge each block under one
+        # tail marker at the single-device fixed offsets
         if "out" in h and not isinstance(h["out"], np.ndarray):
+            from .device_map2 import INS_CAP, TIE_CAP
             out = np.asarray(h["out"])
             G = out.shape[0]
             B = h["B"]
             packed = out[0, :B]
-            recs = []
+            recs, trecs = [], []
             for g in range(G):
-                rec_g = out[g, B:]
+                rec_g = out[g, B:B + INS_CAP + 1]
                 n_ins_g = int(rec_g[-1, 0])
                 if n_ins_g > rec_g.shape[0] - 1:
                     raise RuntimeError("insertion record cap exceeded "
                                        f"on genome shard {g}")
                 recs.append(rec_g[:n_ins_g])
+                tr_g = out[g, B + INS_CAP + 1:]
+                trecs.append(tr_g[:int(tr_g[-1, 0])])
             rec = np.concatenate(recs) if recs else \
                 np.zeros((0, 6), out.dtype)
-            tail = np.zeros((1, 6), out.dtype)
-            tail[0, 0] = len(rec)
-            h["out"] = np.concatenate([packed, rec, tail], axis=0)
+            trec = np.concatenate(trecs) if trecs else \
+                np.zeros((0, 6), out.dtype)
+            if len(rec) > INS_CAP:
+                raise RuntimeError("merged insertion records exceed "
+                                   "ins_cap; raise INS_CAP")
+            if len(trec) > TIE_CAP:
+                raise RuntimeError("merged walk-tie records exceed "
+                                   "tie_cap; raise TIE_CAP")
+            blk_i = np.zeros((INS_CAP + 1, 6), out.dtype)
+            blk_i[:len(rec)] = rec
+            blk_i[-1, 0] = len(rec)
+            blk_t = np.zeros((TIE_CAP + 1, 6), out.dtype)
+            blk_t[:len(trec)] = trec
+            blk_t[-1, 0] = len(trec)
+            h["out"] = np.concatenate([packed, blk_i, blk_t], axis=0)
         return super().resolve(h)
 
     def final_pileup(self) -> np.ndarray:

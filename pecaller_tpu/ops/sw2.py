@@ -73,7 +73,16 @@ def sw_align_x(refs_x, blens, reads_x, rlens, bisulfite: bool = False,
                n_rows: int | None = None):
     """Batched glocal SW on xcodes.  Same contract as sw.sw_align_device:
     returns (score x36, plane k, ref row i) of the argmax cell in the
-    last read column."""
+    last read column, plus a per-lane `tie` flag.
+
+    `tie` is True when >=2 last-column cells attain the FINAL best
+    score (pemapper.c:1716-1742 scans with strict `>` f64 comparisons;
+    two mathematically-equal cells reached by different summation
+    orders carry different rounding noise, so which of them the C scan
+    lands on is rounding-dependent — flagged lanes are re-run through
+    the bit-exact f64 host engine).  Ties with sub-final running bests
+    are irrelevant: a later strict improvement erases them in every
+    rounding outcome, so the count resets on improvement."""
     B, N = refs_x.shape
     M = reads_x.shape[1]
     W = M + 1
@@ -88,29 +97,32 @@ def sw_align_x(refs_x, blens, reads_x, rlens, bisulfite: bool = False,
 
     best0 = at_col(s0)
     carry0 = (s0, s1, s2, best0, jnp.zeros(B, jnp.int32),
-              jnp.zeros(B, jnp.int32))
+              jnp.zeros(B, jnp.int32), jnp.ones(B, jnp.int32))
     refs_t = refs_x[:, :n_rows].T.astype(jnp.int32)
 
     def step(carry, xs):
-        s0, s1, s2, best, bk, bi = carry
+        s0, s1, s2, best, bk, bi, n_at = carry
         rb, i = xs
         bump = _bump_row_x(rb, read_x, bisulfite)
         c0, c1, c2 = _step_core(s0, s1, s2, bump)
         active = (i <= blens)
         for k, v in ((0, at_col(c0)), (1, at_col(c1)), (2, at_col(c2))):
             upd = active & (v > best)
+            n_at = jnp.where(upd, 1,
+                             jnp.where(active & (v == best), n_at + 1,
+                                       n_at))
             best = jnp.where(upd, v, best)
             bk = jnp.where(upd, k, bk)
             bi = jnp.where(upd, i, bi)
         s0 = jnp.where(active[:, None], c0, s0)
         s1 = jnp.where(active[:, None], c1, s1)
         s2 = jnp.where(active[:, None], c2, s2)
-        return (s0, s1, s2, best, bk, bi), None
+        return (s0, s1, s2, best, bk, bi, n_at), None
 
-    (s0, s1, s2, best, bk, bi), _ = jax.lax.scan(
+    (s0, s1, s2, best, bk, bi, n_at), _ = jax.lax.scan(
         step, carry0,
         (refs_t, jnp.arange(1, n_rows + 1, dtype=jnp.int32)))
-    return best, bk, bi
+    return best, bk, bi, n_at >= 2
 
 
 def _parts_of(c0, c1, c2):
@@ -120,6 +132,17 @@ def _parts_of(c0, c1, c2):
     b1 = (c1 - EXT > c0 - OPEN).astype(jnp.uint8)
     b2 = (c2 - EXT > c0 - OPEN).astype(jnp.uint8)
     return a0, b1, b2
+
+
+def _tie_parts_of(c0, c1, c2):
+    """Exact-equality companions of _parts_of: at cells where any of the
+    walk's strict `>` comparisons (pemapper.c:1799-1831) sees two
+    mathematically-equal quantities, the C f64 outcome is
+    rounding-order-dependent; a walk crossing such a cell is flagged."""
+    t0 = ((c1 == c0) | (c2 == jnp.maximum(c0, c1))).astype(jnp.uint8)
+    t1 = (c1 - EXT == c0 - OPEN).astype(jnp.uint8)
+    t2 = (c2 - EXT == c0 - OPEN).astype(jnp.uint8)
+    return t0, t1, t2
 
 
 @functools.partial(jax.jit, static_argnames=("bisulfite", "n_rows"))
@@ -133,6 +156,9 @@ def sw_traceback_rows(refs_x, blens, reads_x, rlens, bt_k, bt_i,
       ins_j    int16: read-column start of an insertion run attached at
                row r (-1 if none; matches sw.sw_traceback_device ins_j)
       ins_len  int16: its length
+    plus `tie` (B,) bool: True when any decision the walk actually took
+    compared two exactly-equal quantities (the C f64 walk's choice at
+    that point is rounding-noise-dependent — see _tie_parts_of).
     """
     B, N = refs_x.shape
     M = reads_x.shape[1]
@@ -157,7 +183,10 @@ def sw_traceback_rows(refs_x, blens, reads_x, rlens, bt_k, bt_i,
         n2 = jnp.where(active, c2, s2)
         a0p, b1p, _ = _parts_of(s0, s1, s2)      # row i-1 cells
         _, _, b2n = _parts_of(n0, n1, n2)        # row i cells
-        comb = shift_r(a0p) | (b1p << 2) | (shift_r(b2n) << 3)
+        t0p, t1p, _ = _tie_parts_of(s0, s1, s2)
+        _, _, t2n = _tie_parts_of(n0, n1, n2)
+        comb = (shift_r(a0p) | (b1p << 2) | (shift_r(b2n) << 3)
+                | (shift_r(t0p) << 4) | (t1p << 5) | (shift_r(t2n) << 6))
         return (n0, n1, n2), comb
 
     (_, _, _), rows = jax.lax.scan(
@@ -179,7 +208,7 @@ def sw_traceback_rows(refs_x, blens, reads_x, rlens, bt_k, bt_i,
 
     def row_iter(t, st):
         i = n_rows - t                                     # rows high->low
-        jj, kk, alive, ev_kind, ins_j, ins_len = st
+        jj, kk, alive, tie, ev_kind, ins_j, ins_len = st
         # a lane is at row i exactly when it started at bt_i >= i and
         # is still alive (one row consumed per iteration once started)
         act = alive & (bt_i.astype(jnp.int32) >= i)
@@ -187,6 +216,9 @@ def sw_traceback_rows(refs_x, blens, reads_x, rlens, bt_k, bt_i,
         a0 = (rowb & 3).astype(jnp.int32)
         b1 = ((rowb >> 2) & 1).astype(jnp.int32)
         b2 = ((rowb >> 3) & 1).astype(jnp.int32)
+        t0 = ((rowb >> 4) & 1).astype(jnp.int32)
+        t1 = ((rowb >> 5) & 1).astype(jnp.int32)
+        t2 = ((rowb >> 6) & 1).astype(jnp.int32)
 
         # k2-run resolution: run columns jj..jc where jc = largest
         # col <= jj with b2(i, col) == 0; jc <= 1 means the run reaches
@@ -242,14 +274,25 @@ def sw_traceback_rows(refs_x, blens, reads_x, rlens, bt_k, bt_i,
         nk = jnp.where(is1, jnp.where(b1_c == 1, 1, 0), a0_c)
         nj = jnp.where(is1, jj, cstep_j - 1)
         nalive = consume & (nj > 0) & (i - 1 > 0)
+        # tie accounting: a0/b1 ties only matter when the walk survives
+        # the step (they pick the NEXT k; the current row's event is
+        # decision-independent); b2 ties matter at every run column the
+        # walk actually visited, cols [max(jc,1), jj]
+        pmT = jax.lax.cummax(jnp.where(t2 == 1, colv, -1), axis=1)
+        t2max = jnp.max(jnp.where(oh_j, pmT, -1), axis=1)
+        tie_run = is2 & (t2max >= jnp.maximum(jc, 1))
+        tie_new = ((diag & (at_c(t0) == 1) & nalive)
+                   | (is1 & (at_c(t1) == 1) & nalive)
+                   | tie_run)
+        tie = tie | tie_new
         jj = jnp.where(act, nj, jj)
         kk = jnp.where(act, nk, kk)
         alive = jnp.where(act, nalive, alive)
-        return jj, kk, alive, ev_kind, ins_j, ins_len
+        return jj, kk, alive, tie, ev_kind, ins_j, ins_len
 
     st = (rlens.astype(jnp.int32), bt_k.astype(jnp.int32),
-          (bt_i > 0) & (rlens > 0),
+          (bt_i > 0) & (rlens > 0), jnp.zeros(B, bool),
           ev_kind, ins_j, ins_len)
     st = jax.lax.fori_loop(0, n_rows, row_iter, st)
-    _, _, _, ev_kind, ins_j, ins_len = st
-    return ev_kind, ins_j, ins_len
+    _, _, _, tie, ev_kind, ins_j, ins_len = st
+    return ev_kind, ins_j, ins_len, tie

@@ -16,6 +16,7 @@ validated bit-exact against the round-1 step walk / pemapper.c
 
 Outputs of the traceback kernel are packed one i32 per (row, lane):
   kind(4 bits) | (ins_j+1)(12 bits, <<4) | ins_len(12 bits, <<16)
+  | walk-tie flag (1 bit, <<28; see sw2._tie_parts_of)
 """
 
 from __future__ import annotations
@@ -103,9 +104,10 @@ def _align_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, out_ref,
     best = at_col(s0)
     bk = jnp.zeros((1, L), jnp.int32)
     bi = jnp.zeros((1, L), jnp.int32)
+    n_at = jnp.ones((1, L), jnp.int32)   # cells attaining the final best
 
     def body(i, carry):
-        s0, s1, s2, best, bk, bi = carry
+        s0, s1, s2, best, bk, bi, n_at = carry
         rb = refs_ref[pl.ds(i - 1, 1), :].astype(jnp.int32)
         m = _match16(rb, reads, bisulfite)
         bump = jnp.where(m, jnp.int32(MATCH), jnp.int32(MISMATCH))
@@ -113,21 +115,23 @@ def _align_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, out_ref,
         active = i <= blens
         for k, v in ((0, at_col(c0)), (1, at_col(c1)), (2, at_col(c2))):
             upd = active & (v > best)
+            n_at = jnp.where(upd, 1,
+                             jnp.where(active & (v == best), n_at + 1,
+                                       n_at))
             best = jnp.where(upd, v, best)
             bk = jnp.where(upd, k, bk)
             bi = jnp.where(upd, i, bi)
-        act2 = active.astype(jnp.int32)
         s0 = jnp.where(active, c0, s0)
         s1 = jnp.where(active, c1, s1)
         s2 = jnp.where(active, c2, s2)
-        del act2
-        return s0, s1, s2, best, bk, bi
+        return s0, s1, s2, best, bk, bi, n_at
 
-    s0, s1, s2, best, bk, bi = jax.lax.fori_loop(
-        1, n_rows + 1, body, (s0, s1, s2, best, bk, bi))
+    s0, s1, s2, best, bk, bi, n_at = jax.lax.fori_loop(
+        1, n_rows + 1, body, (s0, s1, s2, best, bk, bi, n_at))
     out_ref[0, :] = best[0, :].astype(jnp.int32)
     out_ref[1, :] = bk[0, :]
     out_ref[2, :] = bi[0, :]
+    out_ref[3, :] = (n_at[0, :] >= 2).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("bisulfite", "n_rows",
@@ -160,7 +164,7 @@ def sw_align_x_pallas(refs, blens, reads, rlens, bisulfite: bool = False,
     out = pl.pallas_call(
         functools.partial(_align_kernel, n_rows=n_rows,
                           bisulfite=bisulfite),
-        out_shape=jax.ShapeDtypeStruct((3, BP), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((4, BP), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((NP, block_b), lambda b: (0, b),
@@ -172,14 +176,14 @@ def sw_align_x_pallas(refs, blens, reads, rlens, bisulfite: bool = False,
             pl.BlockSpec((1, block_b), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, block_b), lambda b: (0, b),
+        out_specs=pl.BlockSpec((4, block_b), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=BP * n_rows * WP * 25,
             bytes_accessed=BP * (NP + WP) * 2, transcendentals=0),
         interpret=interpret,
     )(refs_i, reads_i, blens_i, rlens_i)
-    return out[0, :B], out[1, :B], out[2, :B]
+    return out[0, :B], out[1, :B], out[2, :B], out[3, :B] != 0
 
 
 # ---------------------------------------------------------------------------
@@ -194,6 +198,14 @@ def _parts16(c0, c1, c2):
     b1 = (c1 - jnp.int32(EXT) > c0 - jnp.int32(OPEN)).astype(jnp.int32)
     b2 = (c2 - jnp.int32(EXT) > c0 - jnp.int32(OPEN)).astype(jnp.int32)
     return a0, b1, b2
+
+
+def _tie16(c0, c1, c2):
+    # exact-equality companions (see sw2._tie_parts_of)
+    t0 = ((c1 == c0) | (c2 == jnp.maximum(c0, c1))).astype(jnp.int32)
+    t1 = (c1 - jnp.int32(EXT) == c0 - jnp.int32(OPEN)).astype(jnp.int32)
+    t2 = (c2 - jnp.int32(EXT) == c0 - jnp.int32(OPEN)).astype(jnp.int32)
+    return t0, t1, t2
 
 
 def _tb_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, bk_ref, bi_ref,
@@ -218,9 +230,14 @@ def _tb_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, bk_ref, bi_ref,
         n2 = jnp.where(active, c2, s2)
         a0p, b1p, _ = _parts16(s0, s1, s2)
         _, _, b2n = _parts16(n0, n1, n2)
+        t0p, t1p, _ = _tie16(s0, s1, s2)
+        _, _, t2n = _tie16(n0, n1, n2)
         comb = (_shift_down(a0p, jnp.int32(0))
                 | (b1p << 2)
-                | (_shift_down(b2n, jnp.int32(0)) << 3))
+                | (_shift_down(b2n, jnp.int32(0)) << 3)
+                | (_shift_down(t0p, jnp.int32(0)) << 4)
+                | (t1p << 5)
+                | (_shift_down(t2n, jnp.int32(0)) << 6))
         bits_ref[pl.ds(i, 1), :, :] = comb[None].astype(jnp.int8)
         return n0, n1, n2
 
@@ -240,6 +257,9 @@ def _tb_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, bk_ref, bi_ref,
         a0 = rowb & 3
         b1 = (rowb >> 2) & 1
         b2 = (rowb >> 3) & 1
+        t0 = (rowb >> 4) & 1
+        t1 = (rowb >> 5) & 1
+        t2 = (rowb >> 6) & 1
 
         stopc = jnp.where(b2 == 0, colv, -1)
         pm = _cummax_sub(stopc, jnp.int32(-1))
@@ -271,15 +291,25 @@ def _tb_kernel(refs_ref, reads_ref, blens_ref, rlens_ref, bk_ref, bi_ref,
                                  jnp.int32(EV_NONE)))
         attach = (diag & (run_len > 0)) | run_dead
         ins_col = jnp.where(run_dead, 0, cstep_j)
-        packed = (ev
-                  | jnp.where(attach, (ins_col + 1) << 4, 0)
-                  | jnp.where(attach, run_len << 16, 0))
-        cur = out_ref[pl.ds(i - 1, 1), :]
-        out_ref[pl.ds(i - 1, 1), :] = jnp.where(act, packed, cur)
 
         nk = jnp.where(is1, jnp.where(b1_c == 1, 1, 0), a0_c)
         nj = jnp.where(is1, jj, cstep_j - 1)
         nalive = consume & (nj > 0) & (i - 1 > 0)
+        # tie accounting (see sw2.sw_traceback_rows): a0/b1 ties matter
+        # only if the walk survives; b2 ties at every visited run col
+        pmT = _cummax_sub(jnp.where(t2 == 1, colv, -1), jnp.int32(-1))
+        t2max = jnp.max(jnp.where(oh_j, pmT, -1), axis=0, keepdims=True)
+        tie_run = is2 & (t2max >= jnp.maximum(jc, 1))
+        tie_new = ((diag & (at_c(t0) == 1) & nalive)
+                   | (is1 & (at_c(t1) == 1) & nalive)
+                   | tie_run)
+        packed = (ev
+                  | jnp.where(attach, (ins_col + 1) << 4, 0)
+                  | jnp.where(attach, run_len << 16, 0)
+                  | jnp.where(tie_new, jnp.int32(1) << 28, 0))
+        cur = out_ref[pl.ds(i - 1, 1), :]
+        out_ref[pl.ds(i - 1, 1), :] = jnp.where(act, packed, cur)
+
         jj = jnp.where(act, nj, jj)
         kk = jnp.where(act, nk, kk)
         alive32 = jnp.where(act, nalive.astype(jnp.int32), alive32)
@@ -296,7 +326,8 @@ def sw_tb_rows_pallas(refs, blens, reads, rlens, bt_k, bt_i,
                       bisulfite: bool = False, n_rows: int | None = None,
                       block_b: int = 256, interpret: bool = False):
     """Same contract as sw2.sw_traceback_rows: returns (ev_kind (B, R)
-    int8, ins_j (B, R) int16, ins_len (B, R) int16), R = n_rows."""
+    int8, ins_j (B, R) int16, ins_len (B, R) int16, tie (B,) bool),
+    R = n_rows."""
     B, N = refs.shape
     M = reads.shape[1]
     n_rows = N if n_rows is None else n_rows
@@ -355,4 +386,5 @@ def sw_tb_rows_pallas(refs, blens, reads, rlens, bt_k, bt_i,
     insj_p = (packed >> 4) & 0xFFF
     ins_j = (insj_p - 1).astype(jnp.int32)
     ins_len = ((packed >> 16) & 0xFFF).astype(jnp.int32)
-    return ev_kind, ins_j, ins_len
+    tie = ((packed >> 28) & 1).any(axis=1)
+    return ev_kind, ins_j, ins_len, tie

@@ -4,8 +4,7 @@ equivalence vs the exact host engine — same contract as test_fused.py."""
 import numpy as np
 import pytest
 
-from util import (make_genome, write_fasta, sample_reads, write_fastq,
-                  assert_tie_local_pileup)
+from util import (make_genome, write_fasta, sample_reads, write_fastq)
 
 
 @pytest.fixture(scope="module")
@@ -56,13 +55,14 @@ def test_fused2_matches_oracle(data):
     assert e_ref.stats.no_dists == e_fus.stats.no_dists
     assert e_ref.stats.total_bases == e_fus.stats.total_bases
 
+    # round 5: FULL byte equality — walk/argmax/decide exact-score ties
+    # are detected on device and re-resolved with the bit-exact f64
+    # native walk (VERDICT r4 item 7)
     p_ref = e_ref.final_pileup().astype(np.int64)
     p_fus = e_fus.final_pileup().astype(np.int64)
-    assert_tie_local_pileup(p_ref, p_fus)
+    assert np.array_equal(p_ref, p_fus)
 
-    kr = sorted((k, len(s)) for k, _, s in e_ref.ins_records)
-    kf = sorted((k, len(s)) for k, _, s in e_fus.ins_records)
-    assert kr == kf
+    assert sorted(e_ref.ins_records) == sorted(e_fus.ins_records)
 
 
 def test_fused2_grouped_scan(data):
@@ -115,7 +115,7 @@ def test_fused2_single_end(data):
     assert np.array_equal(e_ref.stats.mate_counts, e_fus.stats.mate_counts)
     p_ref = e_ref.final_pileup().astype(np.int64)
     p_fus = e_fus.final_pileup().astype(np.int64)
-    assert_tie_local_pileup(p_ref, p_fus)
+    assert np.array_equal(p_ref, p_fus)
 
 
 def test_fused2_bisulfite(data, tmp_path):
@@ -167,7 +167,7 @@ def test_fused2_bisulfite(data, tmp_path):
         assert np.array_equal(rm2, fm2)
     p_ref = e_ref.final_pileup().astype(np.int64)
     p_fus = e_fus.final_pileup().astype(np.int64)
-    assert_tie_local_pileup(p_ref, p_fus)
+    assert np.array_equal(p_ref, p_fus)
 
 
 def test_runner_device_engine_selection(data, tmp_path):
@@ -199,13 +199,7 @@ def test_runner_device_engine_selection(data, tmp_path):
         with open(base + ".summary.txt", "rb") as f:
             summ = f.read()
         outs[dev] = (pile, summ)
-    # decision-layer artifacts must agree; pileup bytes may differ only
-    # at exact-score-tie indel placements (counts conserved)
+    # round 5: summary AND pileup byte-equal (tie routing makes the
+    # device path bit-exact vs the host oracle)
     assert outs[False][1] == outs[True][1]
-    if outs[False][0] != outs[True][0]:
-        import numpy as np
-        a = np.frombuffer(outs[False][0], np.uint8)
-        b = np.frombuffer(outs[True][0], np.uint8)
-        assert len(a) == len(b)
-        frac = (a != b).mean()
-        assert frac < 0.02, frac
+    assert outs[False][0] == outs[True][0]

@@ -12,8 +12,7 @@ the outputs.  Scaled-down genome; the mechanics are the real ones
 import numpy as np
 import pytest
 
-from util import (make_genome, write_fasta, sample_reads, write_fastq,
-                  assert_tie_local_pileup)
+from util import (make_genome, write_fasta, sample_reads, write_fastq)
 
 
 @pytest.fixture(scope="module")
@@ -81,7 +80,7 @@ def test_gshard_matches_oracle(data, n_shards):
     assert e_ref.stats.total_bases == e_sh.stats.total_bases
     p_ref = e_ref.final_pileup().astype(np.int64)
     p_sh = e_sh.final_pileup().astype(np.int64)
-    assert_tie_local_pileup(p_ref, p_sh)
+    assert np.array_equal(p_ref, p_sh)
     kr = sorted((k, len(s)) for k, _, s in e_ref.ins_records)
     kf = sorted((k, len(s)) for k, _, s in e_sh.ins_records)
     assert kr == kf
@@ -143,7 +142,7 @@ def test_gshard_cross_shard_ties(tmp_path):
         assert np.array_equal(rm2, fm2)
     assert np.array_equal(e_ref.stats.mate_counts,
                           e_sh.stats.mate_counts)
-    assert_tie_local_pileup(e_ref.final_pileup().astype(np.int64),
+    assert np.array_equal(e_ref.final_pileup().astype(np.int64),
                             e_sh.final_pileup().astype(np.int64))
 
 

@@ -6,8 +6,7 @@ the quarter index."""
 import numpy as np
 import pytest
 
-from util import (make_genome, write_fasta, sample_reads, write_fastq,
-                  assert_tie_local_pileup)
+from util import (make_genome, write_fasta, sample_reads, write_fastq)
 
 
 @pytest.fixture(scope="module")
@@ -136,7 +135,7 @@ def test_fused2_quarter_matches_oracle(data):
 
     p_ref = e_ref.final_pileup().astype(np.int64)
     p_fus = e_fus.final_pileup().astype(np.int64)
-    assert_tie_local_pileup(p_ref, p_fus)
+    assert np.array_equal(p_ref, p_fus)
 
     kr = sorted((k, len(s)) for k, _, s in e_ref.ins_records)
     kf = sorted((k, len(s)) for k, _, s in e_fus.ins_records)
@@ -163,7 +162,7 @@ def test_quarter_single_end_bisulfite(data, tmp_path):
     assert np.array_equal(e_ref.stats.mate_counts, e_fus.stats.mate_counts)
     p_ref = e_ref.final_pileup().astype(np.int64)
     p_fus = e_fus.final_pileup().astype(np.int64)
-    assert_tie_local_pileup(p_ref, p_fus)
+    assert np.array_equal(p_ref, p_fus)
 
 
 def test_quarter_cache_roundtrip(data, tmp_path):

@@ -51,7 +51,7 @@ def test_sw2_matches_sw_chars(bis):
     s1, k1, i1 = swc.sw_align_device(
         jnp.asarray(refs), jnp.asarray(blens), jnp.asarray(reads),
         jnp.asarray(rlens), bisulfite=bis, n_rows=96)
-    s2, k2, i2 = sw2.sw_align_x(
+    s2, k2, i2, _tie2 = sw2.sw_align_x(
         jnp.asarray(CODE[refs]), jnp.asarray(blens),
         jnp.asarray(CODE[reads]), jnp.asarray(rlens),
         bisulfite=bis, n_rows=96)
@@ -63,7 +63,7 @@ def test_sw2_matches_sw_chars(bis):
                                        swc.sw_traceback_device(
         jnp.asarray(refs), jnp.asarray(blens), jnp.asarray(reads),
         jnp.asarray(rlens), k1, i1, bisulfite=bis, n_rows=96)]
-    ek, ij, il = [np.asarray(x) for x in sw2.sw_traceback_rows(
+    ek, ij, il, _tw = [np.asarray(x) for x in sw2.sw_traceback_rows(
         jnp.asarray(CODE[refs]), jnp.asarray(blens),
         jnp.asarray(CODE[reads]), jnp.asarray(rlens), k2, i2,
         bisulfite=bis, n_rows=96)]
@@ -89,15 +89,16 @@ def test_pallas2_interpret_matches_sw2(bis):
     rng = np.random.default_rng(12)
     refs, blens, reads, rlens = _mk(rng, 256, 64, 48, 17, 41)
     rx, dx = jnp.asarray(CODE[refs]), jnp.asarray(CODE[reads])
-    s1, k1, i1 = sw2.sw_align_x(rx, jnp.asarray(blens), dx,
-                                jnp.asarray(rlens), bisulfite=bis,
-                                n_rows=64)
-    s2, k2, i2 = sw_align_x_pallas(rx, jnp.asarray(blens), dx,
-                                   jnp.asarray(rlens), bisulfite=bis,
-                                   n_rows=64, interpret=True)
+    s1, k1, i1, t1 = sw2.sw_align_x(rx, jnp.asarray(blens), dx,
+                                    jnp.asarray(rlens), bisulfite=bis,
+                                    n_rows=64)
+    s2, k2, i2, t2 = sw_align_x_pallas(rx, jnp.asarray(blens), dx,
+                                       jnp.asarray(rlens), bisulfite=bis,
+                                       n_rows=64, interpret=True)
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
     assert np.array_equal(np.asarray(k1), np.asarray(k2))
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    assert np.array_equal(np.asarray(t1), np.asarray(t2))
     a = [np.asarray(x) for x in sw2.sw_traceback_rows(
         rx, jnp.asarray(blens), dx, jnp.asarray(rlens), k1, i1,
         bisulfite=bis, n_rows=64)]
