@@ -85,13 +85,6 @@ def _c_baseline(d):
         bindir = ref_binaries()
         ncpu = os.cpu_count() or 2
         threads = ncpu + 1          # reference reserves one for I/O
-        t0 = time.time()
-        subprocess.run(
-            [os.path.join(bindir, "pemapper"), "cbase", "g.sdx", "p",
-             "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
-             str(threads), str(2 * N_READS)],
-            cwd=d, check=True, capture_output=True, timeout=3600)
-        elapsed = time.time() - t0
         # subtract the one-time 16 GB .idx load by timing a 0-read run
         t0 = time.time()
         subprocess.run(
@@ -100,9 +93,24 @@ def _c_baseline(d):
              str(threads), "1"],
             cwd=d, check=True, capture_output=True, timeout=3600)
         setup = time.time() - t0
-        compute = max(elapsed - setup, 1e-3)
-        result = {"reads_per_s": 2 * N_READS / compute,
-                  "cores": ncpu, "elapsed": elapsed, "setup": setup}
+        # median-of-3 passes: the single-pass baseline made vs_baseline
+        # jump ~2x across sessions with ambient VM load (VERDICT r4
+        # weak item 5 / next item 9)
+        rates = []
+        for _ in range(3):
+            t0 = time.time()
+            subprocess.run(
+                [os.path.join(bindir, "pemapper"), "cbase", "g.sdx", "p",
+                 "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
+                 str(threads), str(2 * N_READS)],
+                cwd=d, check=True, capture_output=True, timeout=3600)
+            compute = max(time.time() - t0 - setup, 1e-3)
+            rates.append(2 * N_READS / compute)
+        rates.sort()
+        bspread = (rates[-1] - rates[0]) / rates[1]
+        result = {"reads_per_s": rates[1], "cores": ncpu,
+                  "setup": setup, "passes": rates,
+                  "spread": round(bspread, 3)}
     except Exception as e:  # reference unavailable: skip baseline
         result = {"reads_per_s": None, "cores": None, "error": str(e)}
     with open(cache, "w") as f:
@@ -183,22 +191,30 @@ def _c_caller_baseline(d, cb):
         import gzip as _gz
         bindir = ref_binaries()
         ncpu = os.cpu_count() or 2
-        t0 = time.time()
-        subprocess.run(
-            [os.path.join(bindir, "pecaller_O0"), "pileup", "g.sdx",
-             str(N_SAMP), "cref", "0.95", "0.001", "n", str(ncpu + 1),
-             "n"],
-            cwd=cb, check=True, capture_output=True, timeout=7200)
-        elapsed = time.time() - t0
+        rates = []
         n = 0
-        with _gz.open(os.path.join(cb, "cref.base.gz"), "rb") as f:
-            while True:
-                b = f.read(1 << 24)
-                if not b:
-                    break
-                n += b.count(b"\n")
-        result = {"sites_per_s": n / elapsed, "cores": ncpu,
-                  "elapsed": elapsed, "sites": n}
+        for _ in range(3):          # median-of-3 (see _c_baseline)
+            t0 = time.time()
+            subprocess.run(
+                [os.path.join(bindir, "pecaller_O0"), "pileup", "g.sdx",
+                 str(N_SAMP), "cref", "0.95", "0.001", "n",
+                 str(ncpu + 1), "n"],
+                cwd=cb, check=True, capture_output=True, timeout=7200)
+            elapsed = time.time() - t0
+            if not n:
+                with _gz.open(os.path.join(cb, "cref.base.gz"),
+                              "rb") as f:
+                    while True:
+                        b = f.read(1 << 24)
+                        if not b:
+                            break
+                        n += b.count(b"\n")
+            rates.append(n / elapsed)
+        rates.sort()
+        bspread = (rates[-1] - rates[0]) / rates[1]
+        result = {"sites_per_s": rates[1], "cores": ncpu,
+                  "sites": n, "passes": rates,
+                  "spread": round(bspread, 3)}
     except Exception as e:
         result = {"sites_per_s": None, "cores": None, "error": str(e)}
     with open(cache, "w") as f:
@@ -282,21 +298,26 @@ def _c_mid_baseline(md):
         threads = ncpu + 1
         t0 = time.time()
         subprocess.run(
-            [os.path.join(bindir, "pemapper"), "cmid", "m.sdx", "p",
-             "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
-             str(threads), str(2 * MID_READS)],
-            cwd=md, check=True, capture_output=True, timeout=7200)
-        elapsed = time.time() - t0
-        t0 = time.time()
-        subprocess.run(
             [os.path.join(bindir, "pemapper"), "cmid0", "m.sdx", "p",
              "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
              str(threads), "1"],
             cwd=md, check=True, capture_output=True, timeout=7200)
         setup = time.time() - t0
-        compute = max(elapsed - setup, 1e-3)
-        result = {"reads_per_s": 2 * MID_READS / compute,
-                  "cores": ncpu, "elapsed": elapsed, "setup": setup}
+        rates = []
+        for _ in range(3):          # median-of-3 (see _c_baseline)
+            t0 = time.time()
+            subprocess.run(
+                [os.path.join(bindir, "pemapper"), "cmid", "m.sdx", "p",
+                 "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
+                 str(threads), str(2 * MID_READS)],
+                cwd=md, check=True, capture_output=True, timeout=7200)
+            compute = max(time.time() - t0 - setup, 1e-3)
+            rates.append(2 * MID_READS / compute)
+        rates.sort()
+        bspread = (rates[-1] - rates[0]) / rates[1]
+        result = {"reads_per_s": rates[1], "cores": ncpu,
+                  "setup": setup, "passes": rates,
+                  "spread": round(bspread, 3)}
     except Exception as e:
         result = {"reads_per_s": None, "cores": None, "error": str(e)}
     with open(cache, "w") as f:
