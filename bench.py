@@ -70,6 +70,53 @@ def _prepare_data():
     return BENCH_DIR
 
 
+def _c_map_rate(bindir, cwd, sdx, out, n_pairs, threads, ncpu):
+    """Steady-state reads/s of the reference pemapper via DIFFERENCE
+    of full and 1/8-load runs.  Rationale: the per-run fixed costs
+    (the .idx gunzip-inflate is 40-130 s of ambient-dependent CPU, the
+    final pileup dump 10-60 s) are the same order as the mapping
+    itself on these configs, so both the original single-pass timing
+    and an (elapsed - separately_timed_setup) subtraction were
+    ill-conditioned — observed swings from 0.18x to 6x-inflated
+    baselines run to run.  A full and a small run pay identical fixed
+    costs, so their difference isolates the marginal mapping rate,
+    which is also what our one_pass measures (batches pre-read, warm
+    compiles, no output write) and what a production-size run
+    amortizes to.  NOTE pemapper's max_reads arg counts fastq RECORDS
+    per file (= pairs in `p` mode, pemapper.c:709), so the diff is
+    2*(n_pairs - small) reads.  Interleaved q,n pairs bound ambient
+    drift; a pair with tn - tq < 1 s is discarded as unmeasurable."""
+    import os as _os
+
+    def timed(cnt, tag):
+        t0 = time.time()
+        subprocess.run(
+            [_os.path.join(bindir, "pemapper"), tag, sdx, "p",
+             "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
+             str(threads), str(cnt)],
+            cwd=cwd, check=True, capture_output=True, timeout=7200)
+        return time.time() - t0
+
+    small = max(n_pairs // 8, 1)
+    timed(small, out + "w")            # cold-cache warmup, discarded
+    rates = []
+    for i in range(2):
+        tq = timed(small, out + "q")
+        tn = timed(n_pairs, out)
+        if tn - tq > 1.0:
+            rates.append(2 * (n_pairs - small) / (tn - tq))
+    if not rates:
+        return {"reads_per_s": None, "cores": ncpu,
+                "error": "diff below timing resolution"}
+    rates.sort()
+    bspread = (rates[-1] - rates[0]) / rates[0] if len(rates) > 1 else 0.0
+    # report the FASTER pass: ambient load only slows the C runs down
+    # (which would flatter our ratio); the faster baseline is the
+    # conservative denominator
+    return {"reads_per_s": rates[-1], "cores": ncpu,
+            "passes": rates, "spread": round(bspread, 3)}
+
+
 def _c_baseline(d):
     """reads/s of the reference pemapper on this host (cached)."""
     cache = os.path.join(d, "c_baseline.json")
@@ -85,32 +132,8 @@ def _c_baseline(d):
         bindir = ref_binaries()
         ncpu = os.cpu_count() or 2
         threads = ncpu + 1          # reference reserves one for I/O
-        # subtract the one-time 16 GB .idx load by timing a 0-read run
-        t0 = time.time()
-        subprocess.run(
-            [os.path.join(bindir, "pemapper"), "cbase0", "g.sdx", "p",
-             "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
-             str(threads), "1"],
-            cwd=d, check=True, capture_output=True, timeout=3600)
-        setup = time.time() - t0
-        # median-of-3 passes: the single-pass baseline made vs_baseline
-        # jump ~2x across sessions with ambient VM load (VERDICT r4
-        # weak item 5 / next item 9)
-        rates = []
-        for _ in range(3):
-            t0 = time.time()
-            subprocess.run(
-                [os.path.join(bindir, "pemapper"), "cbase", "g.sdx", "p",
-                 "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
-                 str(threads), str(2 * N_READS)],
-                cwd=d, check=True, capture_output=True, timeout=3600)
-            compute = max(time.time() - t0 - setup, 1e-3)
-            rates.append(2 * N_READS / compute)
-        rates.sort()
-        bspread = (rates[-1] - rates[0]) / rates[1]
-        result = {"reads_per_s": rates[1], "cores": ncpu,
-                  "setup": setup, "passes": rates,
-                  "spread": round(bspread, 3)}
+        result = _c_map_rate(bindir, d, "g.sdx", "cbase", N_READS,
+                             threads, ncpu)
     except Exception as e:  # reference unavailable: skip baseline
         result = {"reads_per_s": None, "cores": None, "error": str(e)}
     with open(cache, "w") as f:
@@ -296,28 +319,8 @@ def _c_mid_baseline(md):
         bindir = ref_binaries()
         ncpu = os.cpu_count() or 2
         threads = ncpu + 1
-        t0 = time.time()
-        subprocess.run(
-            [os.path.join(bindir, "pemapper"), "cmid0", "m.sdx", "p",
-             "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
-             str(threads), "1"],
-            cwd=md, check=True, capture_output=True, timeout=7200)
-        setup = time.time() - t0
-        rates = []
-        for _ in range(3):          # median-of-3 (see _c_baseline)
-            t0 = time.time()
-            subprocess.run(
-                [os.path.join(bindir, "pemapper"), "cmid", "m.sdx", "p",
-                 "r1.fastq", "r2.fastq", "500", "0", "n", "0.9",
-                 str(threads), str(2 * MID_READS)],
-                cwd=md, check=True, capture_output=True, timeout=7200)
-            compute = max(time.time() - t0 - setup, 1e-3)
-            rates.append(2 * MID_READS / compute)
-        rates.sort()
-        bspread = (rates[-1] - rates[0]) / rates[1]
-        result = {"reads_per_s": rates[1], "cores": ncpu,
-                  "setup": setup, "passes": rates,
-                  "spread": round(bspread, 3)}
+        result = _c_map_rate(bindir, md, "m.sdx", "cmid",
+                             MID_READS, threads, ncpu)
     except Exception as e:
         result = {"reads_per_s": None, "cores": None, "error": str(e)}
     with open(cache, "w") as f:

@@ -53,7 +53,8 @@ from .engine import (MapperEngine, MISALIGN_SLOP,
                      UNIQUE_MATE, UNIQUE_SLIP, UNIQUE_SINGLE, UNIQUE_MIS,
                      NON_MATE, NON_MIS, NON_NO, NEITHER_MAP)
 from .seeds import segment_offsets, revcomp_batch
-from .device_pipeline import exact_score_threshold, _pad_to, _bucket_b
+from .device_pipeline import (exact_score_threshold_amb, _pad_to,
+                              _bucket_b)
 
 PAD_SCORE = -36
 
@@ -1166,6 +1167,12 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
              mm0, thr, fb_pad) = rest[n_idx:]
             gctx = None
             c_shift = 0
+        # bit 30 of thr marks a boundary-ambiguous threshold (see
+        # exact_score_threshold_amb): units with a candidate score AT
+        # the boundary are routed to the host (the C `>= good_score`
+        # comparison there depends on f64 summation rounding)
+        thr_amb = (thr & jnp.int32(1 << 30)) != 0
+        thr = thr & jnp.int32((1 << 30) - 1)
         if "prep" in PROF_SKIP:
             xf = (seqs_u & 3).astype(jnp.uint8)
             xr = xf[:, ::-1]
@@ -1347,7 +1354,14 @@ def build_fused_step2(dnbr: NbrDeviceIndex, *, paired: bool,
         tie_al_u = (use_loc == 1) & tie_a[slot_b]
         if "align" in _TIE_SKIP:
             tie_al_u = jnp.zeros(U, bool)
-        tie_pre = pairize(tie_dec | tie_al_u)
+        # threshold-boundary hits: a candidate score exactly at (or one
+        # notch under) a boundary-ambiguous eligibility threshold
+        thr_hit = ((valid_d & ((smax_d == thr[:, None]) |
+                               (smax_d == (thr - 1)[:, None]))
+                    ).any(axis=1) & thr_amb)
+        if "thr" in _TIE_SKIP:
+            thr_hit = jnp.zeros(U, bool)
+        tie_pre = pairize(tie_dec | tie_al_u | thr_hit)
         if genome_axis is not None:
             tie_pre = jax.lax.pmax(tie_pre.astype(jnp.int32),
                                    genome_axis) > 0
@@ -1738,7 +1752,7 @@ class FusedMapperEngine2(MapperEngine):
         mm0 = np.minimum(np.maximum(1, tc), 4)
         over4 = tc > 4
         mm0[over4] = np.minimum((4 * tc[over4]) // 5, 4)
-        thr = exact_score_threshold(lens_p, self.min_align)
+        thr = exact_score_threshold_amb(lens_p, self.min_align)
         return (seqs_p, lens_p, offs[:, :s_max].astype(np.int32),
                 n_segs.astype(np.int32), mm0.astype(np.int32), thr,
                 fb_pad)

@@ -90,6 +90,33 @@ def exact_score_threshold(lens: np.ndarray, min_align: float) -> np.ndarray:
     return k.astype(np.int32)
 
 
+THR_AMB_BIT = 1 << 30
+
+
+def exact_score_threshold_amb(lens: np.ndarray,
+                              min_align: float) -> np.ndarray:
+    """exact_score_threshold with bit 30 set when the threshold is
+    BOUNDARY-AMBIGUOUS: good_score lands within summation noise
+    (<1e-9 here vs a <4e-11 bound for <=300 bp sums) of an exact k/36
+    rational — e.g. min_align 0.9 with len a multiple of 5, where
+    32.4*len is an integer.  A candidate whose exact score EQUALS such
+    a threshold passes `score >= good_score` or not depending on the
+    C f64 sum's rounding (the sum mixes inexact -1/3 and 1/36
+    increments), so the v2 device step routes those units to the
+    bit-exact host engine.  Exactly-representable sums (pure
+    match+open paths) are deterministic in C but equal our priority
+    choice, so over-flagging them is harmless."""
+    thr = exact_score_threshold(lens, min_align).astype(np.int64)
+    good = lens.astype(np.float64) * float(min_align) * 1.0
+    k_near = np.rint(good * 36.0).astype(np.int64)
+    amb = np.abs(k_near.astype(np.float64) / 36.0 - good) < 1e-9
+    # the ambiguous int score k_near is thr itself or thr-1 (ceil may
+    # have moved one up); the step flags scores equal to EITHER when
+    # the bit is set — the extra level is a deterministic reject on
+    # both sides, so over-flagging it is merely a rare host remap
+    return (thr | np.where(amb, THR_AMB_BIT, 0)).astype(np.int32)
+
+
 def build_fused_step(dindex: DeviceSeedIndex, *, paired: bool,
                      bisulfite: bool, min_dist: int, max_dist: int,
                      n_contigs: int, genome_size: int,

@@ -203,3 +203,53 @@ def test_runner_device_engine_selection(data, tmp_path):
     # device path bit-exact vs the host oracle)
     assert outs[False][1] == outs[True][1]
     assert outs[False][0] == outs[True][0]
+
+
+def test_fused2_threshold_boundary_reads(tmp_path):
+    """Reads whose exact best score sits ON the min_align threshold
+    (score 90.0 for len 100 at 0.9: 94 matches + 6 mismatches + one
+    1-base deletion = 3240/36) are boundary-ambiguous in the C f64
+    `smax >= good_score` gate — the device step must route them to the
+    host engine and match it byte-for-byte (whatever side the f64
+    rounding lands on)."""
+    from pecaller_tpu.index import build_index
+    from pecaller_tpu.formats.sdx import read_sdx, read_seq
+    from pecaller_tpu.formats.index_files import load_index
+    from pecaller_tpu.mapper.engine import MapperEngine
+    from pecaller_tpu.mapper.device_map2 import FusedMapperEngine2
+
+    rng = np.random.default_rng(99)
+    names, seqs = make_genome(rng, [20000])
+    fa = str(tmp_path / "t.fa")
+    write_fasta(fa, names, seqs)
+    build_index(fa, str(tmp_path / "t"), write_idx=False)
+    sdx = read_sdx(str(tmp_path / "t.sdx"))
+    genome = read_seq(str(tmp_path / "t.seq"), sdx.genome_size)
+    index = load_index(str(tmp_path / "t"))
+
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    B = 64
+    reads = np.zeros((B, 100), np.uint8)
+    lens = np.full(B, 100, np.int64)
+    for b in range(B):
+        start = int(rng.integers(200, 18000))
+        ref = genome[start:start + 101].copy()   # 101 ref bases
+        # delete ref base 50 from the read; 6 substitutions
+        read = np.concatenate([ref[:50], ref[51:101]])
+        subs = rng.choice(100, size=6, replace=False)
+        for p in subs:
+            c = read[p]
+            read[p] = bases[(np.searchsorted(bases, c) + 1) % 4] \
+                if c in bases else ord("A")
+        reads[b] = read
+    kw = dict(paired=False, min_align=0.9, nthreads=2)
+    e_ref = MapperEngine(sdx, genome, index, **kw)
+    e_fus = FusedMapperEngine2(sdx, genome, index, **kw)
+    nos = np.arange(B)
+    rm1, _, rc = e_ref.map_batch(reads, lens, read_nos=nos)
+    fm1, _, fc = e_fus.map_batch(reads, lens, read_nos=nos)
+    assert np.array_equal(rc, fc)
+    assert np.array_equal(rm1, fm1)
+    assert np.array_equal(e_ref.final_pileup(), e_fus.final_pileup())
+    assert np.array_equal(e_ref.stats.mate_counts,
+                          e_fus.stats.mate_counts)
